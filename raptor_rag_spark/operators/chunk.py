@@ -1,0 +1,139 @@
+"""Chunking: greedy sentence packing into <=max_tokens chunks.
+
+Semantics match the reference ``split_text``
+(/root/reference/raptor/utils.py:22-100) exactly, including its
+quirks, which parity tests assert against the reference function
+itself:
+
+- sentence split on ``. ! ? \\n`` (P1, utils.py:38-40)
+- token counts computed on ``" " + sentence`` (P2, utils.py:43)
+- whitespace-only sentences skipped (utils.py:50-52)
+- oversize sentences re-split on ``, ; :`` and packed separately,
+  emitted IN PLACE while the running chunk stays open (utils.py:55-81)
+- the overlap-reset recomputes lengths by position-in-chunk indexing
+  into the ORIGINAL token-count list (a reference bug, utils.py:75,:87)
+  — replicated verbatim for parity
+- chunks joined with a single space (utils.py:73,:81,:85,:98)
+
+This is a stateful per-document scan (running total resets at cut
+points), NOT expressible as a window function — so it runs as an
+``applyInPandas`` grouped by document, one group per doc. Group size
+is bounded by document length (web pages), so pandas memory per group
+is bounded; at 10^12-doc scale the groupBy key (url/doc_id) is unique
+per doc => no skew beyond the largest single document.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.tokenizer import DEFAULT_TOKENIZER
+
+_SENTENCE_RE = re.compile(r"\.|!|\?|\n")
+_SUB_RE = re.compile(r"[,;:]")
+
+
+def split_text(
+    text: str,
+    tokenizer=DEFAULT_TOKENIZER,
+    max_tokens: int = 100,
+    overlap: int = 0,
+) -> list[str]:
+    """Reference-parity chunker (see module docstring)."""
+    sentences = _SENTENCE_RE.split(text)
+    n_tokens = [len(tokenizer.encode(" " + s)) for s in sentences]
+
+    chunks: list[str] = []
+    current_chunk: list[str] = []
+    current_length = 0
+
+    for sentence, count in zip(sentences, n_tokens):
+        if not sentence.strip():
+            continue
+
+        if count > max_tokens:
+            subs = [s.strip() for s in _SUB_RE.split(sentence) if s.strip() != ""]
+            sub_counts = [len(tokenizer.encode(" " + s)) for s in subs]
+            sub_chunk: list[str] = []
+            sub_length = 0
+            for sub, sub_count in zip(subs, sub_counts):
+                if sub_length + sub_count > max_tokens:
+                    if sub_chunk:
+                        chunks.append(" ".join(sub_chunk))
+                        sub_chunk = sub_chunk[-overlap:] if overlap > 0 else []
+                        # reference's positional re-index (utils.py:75)
+                        sub_length = sum(
+                            sub_counts[max(0, len(sub_chunk) - overlap) : len(sub_chunk)]
+                        )
+                sub_chunk.append(sub)
+                sub_length += sub_count
+            if sub_chunk:
+                chunks.append(" ".join(sub_chunk))
+
+        elif current_length + count > max_tokens:
+            chunks.append(" ".join(current_chunk))
+            current_chunk = current_chunk[-overlap:] if overlap > 0 else []
+            # reference's positional re-index (utils.py:87)
+            current_length = sum(
+                n_tokens[max(0, len(current_chunk) - overlap) : len(current_chunk)]
+            )
+            current_chunk.append(sentence)
+            current_length += count
+        else:
+            current_chunk.append(sentence)
+            current_length += count
+
+    if current_chunk:
+        chunks.append(" ".join(current_chunk))
+    return chunks
+
+
+CHUNK_SCHEMA = "doc_id long, chunk_idx int, text string, n_tokens int"
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 100,
+    overlap: int = 0,
+    tokenizer_factory: Callable | None = None,
+) -> DataFrame:
+    """documents(id, text) -> chunks(doc_id, chunk_idx, text, n_tokens).
+
+    One applyInPandas group per document. A global dense ``chunk_id``
+    is derivable as a deterministic function of (doc_id, chunk_idx);
+    we expose ``chunk_id = doc_id * 2^20 + chunk_idx`` (documents are
+    web pages; 1M chunks/doc is a safe bound) to avoid a global sort
+    at 10^12 scale — monotonically_increasing_id is not stable and
+    row_number over all rows is a single-partition sort.
+    """
+    factory = tokenizer_factory or (lambda: DEFAULT_TOKENIZER)
+
+    def chunk_group(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        tok = factory()
+        out: list[tuple[int, int, str, int]] = []
+        for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            if text is None:
+                continue
+            for idx, chunk in enumerate(
+                split_text(text, tok, max_tokens=max_tokens, overlap=overlap)
+            ):
+                out.append((int(doc_id), idx, chunk, len(tok.encode(chunk))))
+        yield pd.DataFrame(out, columns=["doc_id", "chunk_idx", "text", "n_tokens"])
+
+    # groupBy doc id: unique key => perfectly even shuffle; applyInPandas
+    # (not mapInPandas) so re-chunking a doc never straddles partitions.
+    chunks = (
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+        .groupBy(id_col)
+        .applyInPandas(lambda _k, pdf: next(chunk_group(pdf)), schema=CHUNK_SCHEMA)
+    )
+    return chunks.withColumn(
+        "chunk_id", (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).cast("long")
+    )

@@ -1,0 +1,89 @@
+"""Embedding stage.
+
+The reference embeds via an HTTP call to a VLLM-served e5-large model
+(/root/reference/raptor/EmbeddingModels.py:84-138, server batch
+chunking /root/reference/embedding_service/server.py:285-299). The
+engine's embedder is the same extension-point shape — a
+scalar-iterator pandas UDF over Arrow batches (batch == RPC batch) —
+with a deterministic, content-dependent feature-hash embedder as the
+default so tests and goldens are reproducible without any model. A
+production model endpoint drops into ``embed_fn`` unchanged.
+
+Vectors are L2-normalized (reference e5 vectors are normalized,
+production_test_report.json:70-72), so cosine similarity == dot
+product and the kNN re-rank can use a plain matmul.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raptor_rag_spark.functions.hashing import fnv1a_64_str
+from raptor_rag_spark.tokenizer import _TOKEN_RE
+
+
+def hash_embed_batch(texts: pd.Series, dim: int = 64) -> np.ndarray:
+    """Deterministic feature-hash embedding: each token hashes to a
+    (bucket, sign); vector = normalized bag-of-hashed-tokens. Returns
+    float32 (n, dim), rows unit-norm (zero vector for empty text gets
+    a fixed unit basis vector so downstream cosine is total)."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, text in enumerate(texts):
+        if text is None:
+            continue
+        for token in _TOKEN_RE.findall(text.lower()):
+            h = fnv1a_64_str(token)
+            bucket = h % dim
+            sign = 1.0 if (h >> 32) & 1 else -1.0
+            out[i, bucket] += sign
+    norms = np.linalg.norm(out, axis=1)
+    zero = norms == 0
+    out[zero, 0] = 1.0
+    norms[zero] = 1.0
+    return (out / norms[:, None]).astype(np.float32)
+
+
+def make_embed_udf(dim: int = 64, embed_fn=None):
+    """Scalar-iterator pandas UDF: text -> array<float> (unit norm)."""
+    fn = embed_fn or (lambda s: hash_embed_batch(s, dim))
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            mat = fn(series)
+            yield pd.Series(list(mat))
+
+    return embed
+
+
+def embed_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = 64,
+    embed_fn=None,
+) -> DataFrame:
+    return df.withColumn(out_col, make_embed_udf(dim, embed_fn)(F.col(text_col)))
+
+
+def normalize_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """L2-normalize array<float> JVM-side (no Python): v / sqrt(sum v^2).
+
+    Mirrors the reference's normalization check
+    (embedding_service/mean_pooling_bug_test.py:147-148).
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return df.withColumn(
+        col,
+        F.transform(F.col(col), lambda x: (x.cast("double") / norm).cast("float")),
+    )
