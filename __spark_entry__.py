@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query — full engine slice on sf0.001: documents
+-> chunks -> embeddings -> 2-D reduction -> quadkey tiles ->
+tile-pruned kNN join (ring expansion) -> token-budget prefix ->
+per-query context. Returns the selected-node rows (stable schema).
+
+queries()/oracle_sql(): operator catalog with DuckDB oracles — see
+raptor_rag_spark/plans/driver_queries.py.
 """
 
 from __future__ import annotations
@@ -13,26 +15,60 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tile-pruned kNN retrieval over sf0.001 documents."""
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.chunk import chunk_documents
+    from raptor_rag_spark.operators.embed import embed_texts
+    from raptor_rag_spark.operators.knn import tile_knn, token_budget_prefix
+    from raptor_rag_spark.operators.tile import reduce_2d, tile_assignments
+
+    dim, k, res = 64, 5, 3
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=60)
+    nodes = (
+        embed_texts(chunks, dim=dim)
+        .withColumnRenamed("chunk_id", "node_id")
+        .select("node_id", "text", "n_tokens", "embedding")
+    )
+    nodes = reduce_2d(nodes, dim=dim).cache()
+    tiles = tile_assignments(nodes, "node_id", [res])
+
+    queries = spark.createDataFrame(
+        [
+            (0, "table scan join order"),
+            (1, "window aggregate group"),
+            (2, "stream filter data row"),
+            (3, "hash merge sort key"),
+            (4, "customer line part value"),
+        ],
+        "query_id long, text string",
+    )
+    q = embed_texts(queries, dim=dim)
+    q = reduce_2d(q, dim=dim).withColumnRenamed("embedding", "q_embedding")
+
+    ranked = tile_knn(
+        q, nodes.select("node_id", "embedding"), tiles,
+        resolution=res, k=k, ring=1, max_ring=1 << (res + 1),
+    )
+    sel = ranked.join(nodes.select("node_id", "n_tokens"), "node_id")
+    kept = token_budget_prefix(sel, max_tokens=500)
+    return kept.select(
+        "query_id", "node_id", "rank", F.round("dist", 6).alias("dist"), "cum_tokens"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from raptor_rag_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raptor_rag_spark.plans.driver_queries import oracle_sql_map
+
+    return oracle_sql_map()

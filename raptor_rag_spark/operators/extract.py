@@ -1,0 +1,89 @@
+"""HTML -> text extraction (engine-only stage).
+
+The reference ingests pre-extracted text (build_from_text,
+/root/reference/raptor/tree_builder.py:260-295); the engine's input is
+Common-Crawl-style pages (url, warc_ts, html:binary, text, lang) and
+the per-row invariant is BYTE-IDENTICAL extracted text per url
+(input_hint). The extractor is a deterministic pure-Python kernel in
+``mapInPandas`` (Arrow batches; bytes never shuffle — extraction runs
+straight off the scan and only text flows on), pinned by goldens in
+tests.
+
+Kernel rules (deterministic, no external parser):
+1. drop <script>/<style>/<!-- --> blocks
+2. <br> and closing block tags emit '\\n'
+3. strip remaining tags
+4. decode the five standard XML entities + decimal/hex numeric refs
+5. collapse horizontal whitespace runs to one space, strip each line,
+   drop empty lines, join with '\\n'
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_BLOCK_CLOSE_RE = re.compile(
+    r"(?i)<br\s*/?>|</(p|div|h[1-6]|li|ul|ol|tr|table|blockquote|title|section|article|header|footer)\s*>"
+)
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")]
+_NUM_ENT_RE = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
+_HWS_RE = re.compile(r"[ \t\f\v]+")
+
+
+def extract_text(html: bytes | str) -> str:
+    """Deterministic HTML -> text. The golden-pinned kernel."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        s = bytes(html).decode("utf-8", errors="replace")
+    else:
+        s = html
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _BLOCK_CLOSE_RE.sub("\n", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _NUM_ENT_RE.sub(lambda m: _decode_num(m.group(1)), s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    lines = []
+    for line in s.split("\n"):
+        line = _HWS_RE.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def _decode_num(ref: str) -> str:
+    try:
+        cp = int(ref[1:], 16) if ref.startswith("x") else int(ref)
+        if 0 < cp <= 0x10FFFF:
+            return chr(cp)
+    except ValueError:
+        pass
+    return ""
+
+
+EXTRACT_SCHEMA = "url string, text string"
+
+
+def extract_pages(pages: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
+    """pages(url, html binary, ...) -> (url, text). Column-pruned scan:
+    only url+html are read; the binary column dies here."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "text": [extract_text(h) for h in pdf[html_col]],
+                }
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(run, EXTRACT_SCHEMA)

@@ -1,0 +1,87 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column — brute-force cosine top-k as the exact baseline, the tile
+(quadkey-bucket) pruned variant as the scale path (IVF/LSH analog:
+the cell grid is the coarse quantizer, the ring join is the probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.operators.knn import brute_force_knn, tile_knn
+from raptor_rag_spark.operators.tile import reduce_2d, tile_assignments
+
+
+def cosine_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    method: str = "brute",
+    resolution: int = 3,
+    query_id: str = "query_id",
+    item_id: str = "node_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, node_id, dist, rank) top-k cosine neighbors.
+
+    method='brute': exact; method='tiled': tile-pruned with ring
+    expansion until k hits (exact within the explored region — recall
+    is measured, not assumed; see bench.py).
+    """
+    items = items.withColumnRenamed(item_id, "node_id") if item_id != "node_id" else items
+    if method == "brute":
+        return brute_force_knn(queries, items, k=k, query_id=query_id)
+    if dim is None:
+        dim = len(items.select("embedding").first()[0])
+    items_xy = reduce_2d(items, dim=dim)
+    tiles = tile_assignments(items_xy, "node_id", [resolution])
+    q_xy = reduce_2d(
+        queries.withColumnRenamed("q_embedding", "embedding"), dim=dim
+    ).withColumnRenamed("embedding", "q_embedding")
+    grid_n = 1 << (resolution + 1)
+    return tile_knn(
+        q_xy, items, tiles, resolution=resolution, k=k, ring=1, max_ring=grid_n, query_id=query_id
+    )
+
+
+def self_similarity_pairs(
+    items: DataFrame,
+    min_cosine: float = 0.9,
+    resolution: int = 3,
+    item_id: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Tile-bucketed near-dup pair search: candidates co-located in the
+    same soft cell (border band catches cross-boundary pairs), exact
+    cosine verify. The quadratic blowup is per-cell, bounded by cell
+    occupancy — the scale path for embedding near-dup."""
+    from raptor_rag_spark.operators.knn import dot_product
+
+    if dim is None:
+        dim = len(items.select("embedding").first()[0])
+    xy = reduce_2d(items, dim=dim)
+    from raptor_rag_spark.operators.tile import tile_soft
+
+    t = tile_soft(xy, resolution).select(
+        F.col(item_id).alias("id"), "cell_id", "embedding"
+    )
+    pairs = (
+        t.alias("l")
+        .join(t.alias("r"), "cell_id")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.embedding").alias("e_a"),
+            F.col("r.embedding").alias("e_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))  # noqa: E731
+    cos = dot_product(F.col("e_a"), F.col("e_b")) / (norm(F.col("e_a")) * norm(F.col("e_b")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

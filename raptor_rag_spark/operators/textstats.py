@@ -1,0 +1,134 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All metrics are pure JVM column expressions (codegen'd, no Python)
+except the rolling-hash fingerprint kernel. Every ratio is ROUNDed
+where it feeds the DuckDB oracle so cross-engine float hashing is
+stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raptor_rag_spark.functions.hashing import fnv1a_64
+from raptor_rag_spark.tokenizer import spark_token_count
+
+# tiny per-language stopword lists (deterministic heuristic lang-id —
+# a real pipeline swaps in fastText; the Spark plumbing is identical)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+    "tr": ["bir", "ve", "bu", "da", "de", "ne", "için", "ile", "mi", "çok"],
+}
+
+
+def words_col(col: Column) -> Column:
+    """lowercased whitespace words, empties dropped — identical
+    semantics expressible in DuckDB."""
+    return F.filter(F.split(F.lower(col), "\\s+"), lambda w: w != "")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words_col(col), lambda w: F.array_contains(stops, w)))
+
+
+def lang_scores(col: Column) -> Column:
+    """map<lang, hits> over all stopword lists."""
+    entries = []
+    for lang in sorted(STOPWORDS):
+        entries.extend([F.lit(lang), stopword_hits(col, lang)])
+    return F.create_map(*entries)
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when all
+    zero. Deterministic tie-break: lexicographically smallest lang."""
+    best = None
+    best_score = None
+    for lang in sorted(STOPWORDS):
+        s = stopword_hits(col, lang)
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: lengths, ratios, token stats, score.
+
+    Score formula (deterministic, documented): starts at 1, penalized
+    for extreme length, low alpha ratio, high digit/punct ratio, low
+    mean word length — the usual web-text quality heuristics
+    (Gopher/C4-style rules, public)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = words_col(t)
+    n_words = F.size(words)
+    n_tokens = spark_token_count(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    spaces = F.length(F.regexp_replace(t, "[^ ]", ""))
+    mean_word_len = F.when(n_words > 0, (n_chars - spaces) / n_words).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.lit(1.0)
+        - F.when(n_words < 5, 0.5).otherwise(0.0)
+        - F.when(digit_ratio > 0.3, 0.3).otherwise(0.0)
+        - F.when(punct_ratio > 0.2, 0.2).otherwise(0.0)
+        - F.when(alpha_ratio < 0.5, 0.2).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(F.greatest(score, F.lit(0.0)), 6).alias("quality_score"),
+    )
+
+
+def make_fingerprint_udf(window: int = 8):
+    """Rolling-hash document fingerprint: min FNV hash over all
+    ``window``-word windows of the normalized text (winnowing-style,
+    public technique). Arrow-batched; ~like minhash with one hash."""
+
+    @F.pandas_udf(T.LongType())
+    def fingerprint(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            out = []
+            for text in series:
+                if text is None:
+                    out.append(None)
+                    continue
+                ws = [w for w in text.lower().split() if w]
+                if not ws:
+                    out.append(0)
+                    continue
+                grams = (
+                    [" ".join(ws)]
+                    if len(ws) < window
+                    else [" ".join(ws[i : i + window]) for i in range(len(ws) - window + 1)]
+                )
+                h = min(fnv1a_64(g.encode("utf-8")) for g in grams)
+                out.append(h - (1 << 64) if h >= 1 << 63 else h)
+            yield pd.Series(out, dtype="Int64")
+
+    return fingerprint

@@ -1,0 +1,293 @@
+"""RAPTOR-tree build as per-resolution tile aggregations.
+
+Recasts the reference layer loop
+(/root/reference/raptor/cluster_tree_builder.py:55-151):
+
+- clustering (UMAP->GMM, cluster_utils.py:132-185) -> quadkey cell at
+  a per-layer resolution (coarser each layer up the tree);
+- oversized-cluster recursion (token sum > 3500 re-clusters,
+  cluster_utils.py:166-181) -> cells over the token cap re-tile their
+  members one resolution finer (driver fixed-point loop, bounded by
+  max_resolution) — this same cap bounds every pandas group size;
+- cluster summarization (LLM, cluster_tree_builder.py:66-85) -> a
+  deterministic extractive summarizer (applyInPandas; an LLM endpoint
+  drops into ``summarize_fn``);
+- termination: new layer has <= min_level_nodes nodes or no reduction
+  (reference cluster_tree_builder.py:95-100);
+- every level checkpoints to parquet with a manifest carrying
+  per-partition row counts, input lineage and timings (north_rule:
+  resume mid-build) — ``build_tree`` restarts from the last complete
+  level.
+
+Node ids are allocated WITHOUT any global sort or driver round-trip:
+a parent node's id encodes (layer, resolution, quadkey-as-int), which
+is bijective because cell_id is unique within a layer. At 10^12 rows
+a row_number()-style allocator would be a single-partition sort;
+this is pure map-side arithmetic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.config import DEFAULT_CONFIG, EngineConfig
+from raptor_rag_spark.operators.chunk import split_text
+from raptor_rag_spark.operators.embed import embed_texts
+from raptor_rag_spark.operators.tile import quadkey, reduce_2d, tile
+from raptor_rag_spark.tokenizer import DEFAULT_TOKENIZER
+
+NODES_SCHEMA = (
+    "node_id long, layer int, cell_id string, text string, "
+    "children array<long>, n_tokens int"
+)
+
+
+# ------------------------------------------------------- summarizer
+
+
+def extractive_summary(texts: list[str], max_tokens: int, tokenizer=DEFAULT_TOKENIZER) -> str:
+    """Deterministic extractive summary: member texts in node_id order,
+    first sentence of each member round-robin, packed until the token
+    budget. Replaces the reference's GPT summarizer
+    (SummarizationModels.py:17-44) for reproducible builds."""
+    sent_lists = []
+    for t in texts:
+        sents = [s.strip() for s in split_text(t, tokenizer, max_tokens=40)] or [t.strip()]
+        sent_lists.append([s for s in sents if s])
+    picked: list[str] = []
+    total = 0
+    for round_i in range(max(len(sl) for sl in sent_lists) if sent_lists else 0):
+        for sl in sent_lists:
+            if round_i >= len(sl):
+                continue
+            n = len(tokenizer.encode(" " + sl[round_i]))
+            if total + n > max_tokens:
+                return " ".join(picked) if picked else (sl[round_i][:200])
+            picked.append(sl[round_i])
+            total += n
+    return " ".join(picked)
+
+
+def node_id_for_cell(layer: int):
+    """Column fn: bijective parent id = layer<<48 | res<<40 | cell-as-int.
+
+    quadkey digits are base-4; max_resolution<=14 keeps the int < 2^30."""
+
+    def col(cell_id, resolution):
+        as_int = F.conv(cell_id, 4, 10).cast("long")
+        return (
+            (F.lit(layer).cast("long") * F.lit(1 << 48))
+            + (resolution.cast("long") * F.lit(1 << 40))
+            + as_int
+        ).alias("node_id")
+
+    return col
+
+
+# -------------------------------------------------------- level step
+
+
+def _assign_cells_with_cap(
+    nodes: DataFrame, start_res: int, cfg: EngineConfig
+) -> DataFrame:
+    """Tile at start_res; cells whose token sum exceeds the cap re-tile
+    their members one resolution finer (C4 recast). Returns nodes +
+    (resolution, cell_id). Driver fixed-point loop, <= max_resolution
+    iterations; each pass is one groupBy + one semi/anti join."""
+    assigned = None
+    current = nodes
+    res = start_res
+    while True:
+        t = tile(current, res).drop("ix", "iy")
+        if res >= cfg.max_resolution:
+            assigned = t if assigned is None else assigned.unionByName(t)
+            break
+        cell_tokens = t.groupBy("cell_id").agg(F.sum("n_tokens").alias("_sum"))
+        over = cell_tokens.filter(F.col("_sum") > cfg.max_tokens_in_cluster).select("cell_id")
+        # cells over cap AND with >1 member get re-tiled finer; singleton
+        # over-cap cells stay (reference single-node base case)
+        sizes = t.groupBy("cell_id").agg(F.count("*").alias("_n"))
+        splittable = over.join(sizes.filter(F.col("_n") > 1), "cell_id", "left_semi")
+        ok = t.join(splittable, "cell_id", "left_anti")
+        redo = t.join(splittable, "cell_id", "left_semi").drop("resolution", "cell_id")
+        assigned = ok if assigned is None else assigned.unionByName(ok)
+        if not redo.take(1):
+            break
+        current = redo
+        res += 1
+    return assigned
+
+
+def build_level(
+    nodes: DataFrame,
+    layer: int,
+    resolution: int,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    summarize_fn: Callable[[list[str], int], str] | None = None,
+) -> DataFrame:
+    """One layer step: tile current nodes -> per-cell summarize ->
+    parent nodes (node_id, layer, cell_id, text, children, n_tokens).
+
+    Input needs: node_id, text, n_tokens, x, y.
+    """
+    summ = summarize_fn or (lambda texts, mt: extractive_summary(texts, mt))
+    assigned = _assign_cells_with_cap(nodes, resolution, cfg)
+
+    out_schema = "cell_id string, resolution int, text string, children array<long>, n_tokens int"
+    max_summary = cfg.summary_max_tokens
+
+    def summarize_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("node_id")
+        texts = list(pdf["text"])
+        text = summ(texts, max_summary)
+        return pd.DataFrame(
+            {
+                "cell_id": [key[0]],
+                "resolution": [int(pdf["resolution"].iloc[0])],
+                "text": [text],
+                "children": [[int(v) for v in pdf["node_id"]]],
+                "n_tokens": [len(DEFAULT_TOKENIZER.encode(text))],
+            }
+        )
+
+    parents = assigned.select(
+        "cell_id", "resolution", "node_id", "text", "n_tokens"
+    ).groupBy("cell_id").applyInPandas(summarize_cell, out_schema)
+
+    mk_id = node_id_for_cell(layer)
+    return parents.select(
+        mk_id(F.col("cell_id"), F.col("resolution")),
+        F.lit(layer).alias("layer"),
+        "cell_id",
+        "text",
+        "children",
+        "n_tokens",
+    )
+
+
+# ------------------------------------------------- checkpointed build
+
+
+def _manifest_path(base: str, layer: int) -> str:
+    return os.path.join(base, f"level={layer}", "_MANIFEST.json")
+
+
+def _level_path(base: str, layer: int) -> str:
+    return os.path.join(base, f"level={layer}", "nodes.parquet")
+
+
+def write_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
+    """Atomic level checkpoint: parquet + manifest with per-partition
+    row counts, lineage and timings. The manifest is written AFTER the
+    parquet commit — its presence marks the level complete."""
+    t0 = time.time()
+    path = _level_path(base, layer)
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    per_part = (
+        spark.read.parquet(path)
+        .withColumn("_p", F.spark_partition_id())
+        .groupBy("_p")
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    manifest = {
+        "layer": layer,
+        "rows": int(sum(r["rows"] for r in per_part)),
+        "partitions": {str(r["_p"]): int(r["rows"]) for r in per_part},
+        "lineage": lineage,
+        "wall_sec": round(time.time() - t0, 3),
+        "written_at_epoch": int(time.time()),
+    }
+    with open(_manifest_path(base, layer), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def last_complete_level(base: str) -> int:
+    """Highest layer with a manifest; -1 if none."""
+    lvl = -1
+    while os.path.exists(_manifest_path(base, lvl + 1)):
+        lvl += 1
+    return lvl
+
+
+def build_tree(
+    spark: SparkSession,
+    leaves: DataFrame,
+    checkpoint_base: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    start_resolution: int = 4,
+    max_layers: int = 8,
+    embed_dim: int | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Full tree: leaves (node_id, text, n_tokens, embedding) -> all
+    levels, checkpointed per level, resumable mid-build.
+
+    Returns the union of all levels (the collapsed-tree node table:
+    node_id, layer, cell_id, text, children, n_tokens, embedding, x, y).
+    """
+    dim = embed_dim or cfg.embedding_dim
+    os.makedirs(checkpoint_base, exist_ok=True)
+
+    done = last_complete_level(checkpoint_base) if resume else -1
+    if done < 0:
+        lvl0 = (
+            leaves.withColumn("layer", F.lit(0))
+            .withColumn("cell_id", F.lit(None).cast("string"))
+            .withColumn("children", F.array().cast("array<long>"))
+        )
+        lvl0 = reduce_2d(lvl0, dim=dim, seed=cfg.seed)
+        write_level(
+            lvl0.select(
+                "node_id", "layer", "cell_id", "text", "children", "n_tokens", "embedding", "x", "y"
+            ),
+            checkpoint_base,
+            0,
+            {"input": "leaves"},
+        )
+        done = 0
+
+    layer = done
+    while layer < max_layers:
+        current = spark.read.parquet(_level_path(checkpoint_base, layer))
+        n_current = current.count()
+        if n_current <= cfg.min_level_nodes:
+            break
+        res = max(start_resolution - layer, 0)
+        parents = build_level(current, layer + 1, res, cfg)
+        parents = embed_texts(parents, dim=dim)
+        parents = reduce_2d(parents, dim=dim, seed=cfg.seed)
+        parents = parents.select(
+            "node_id", "layer", "cell_id", "text", "children", "n_tokens", "embedding", "x", "y"
+        )
+        n_parents = parents.count()
+        if n_parents >= n_current:
+            break  # no reduction — stop (avoids infinite identity layers)
+        write_level(
+            parents,
+            checkpoint_base,
+            layer + 1,
+            {"input": _level_path(checkpoint_base, layer), "resolution": res},
+        )
+        layer += 1
+        if n_parents <= cfg.min_level_nodes:
+            break
+
+    levels = []
+    lvl = 0
+    while os.path.exists(_manifest_path(checkpoint_base, lvl)):
+        levels.append(spark.read.parquet(_level_path(checkpoint_base, lvl)))
+        lvl += 1
+    out = levels[0]
+    for more in levels[1:]:
+        out = out.unionByName(more)
+    return out

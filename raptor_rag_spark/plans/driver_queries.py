@@ -1,0 +1,711 @@
+"""Driver-contract query catalog: every implemented operator from
+SURVEY.md §2 exposed as (spark_query, duckdb_oracle_sql) pairs.
+
+Conventions (driver compare = row count + schema + order-insensitive
+value hash with columns sorted by name):
+- every computed column is aliased IDENTICALLY on both sides;
+- doubles that cross the hash are ROUNDed on both sides (ranking
+  itself always uses the unrounded value);
+- counts/sums are cast so Spark long == DuckDB BIGINT;
+- no timestamps in outputs (epoch seconds instead — engine-TZ proof).
+
+Queries without an oracle entry (stateful chunking, hash-embedder
+retrieval, minhash/simhash, multimodal) get the driver's weaker
+rows-only check; their exactness is covered by pytest oracles instead.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.config import EngineConfig
+from raptor_rag_spark.operators import knn as knn_ops
+from raptor_rag_spark.operators import tile as tile_ops
+from raptor_rag_spark.operators.dedup import (
+    exact_dedup_groups,
+    embedding_neardup_pairs,
+    make_minhash_udf,
+    make_simhash_udf,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+)
+from raptor_rag_spark.operators.textstats import lang_id, make_fingerprint_udf, quality_metrics
+from raptor_rag_spark.operators.chunk import chunk_documents
+from raptor_rag_spark.operators.embed import embed_texts
+from raptor_rag_spark.operators.spatial import point_in_polygon_expr, rasterize
+from raptor_rag_spark.tokenizer import (
+    TOKEN_PATTERN,
+    duckdb_token_count_expr,
+    spark_token_count,
+)
+
+CFG = EngineConfig()
+DIM = 64  # embeddings.parquet dimension
+N_QUERIES = 8  # vec_id < 8 act as kNN query vectors
+K = 5
+
+# deterministic projection, shared by Spark and the SQL oracles
+_P0, _P1 = tile_ops.projection_literals(DIM, CFG.seed)
+P0_SQL = "[" + ",".join(repr(v) for v in _P0) + "]"
+P1_SQL = "[" + ",".join(repr(v) for v in _P1) + "]"
+
+XY_CTE = f"""xy AS (
+  SELECT vec_id, label,
+         list_dot_product(embedding::DOUBLE[], {P0_SQL}) AS x,
+         list_dot_product(embedding::DOUBLE[], {P1_SQL}) AS y
+  FROM embeddings
+)"""
+
+
+def _grid_sql(coord: str, res: int) -> str:
+    n = 1 << (res + 1)
+    return f"CAST(LEAST(GREATEST(FLOOR(({coord}+1.0)/2.0*{n}.0), 0), {n - 1}) AS INT)"
+
+
+def _quadkey_sql(ix: str, iy: str, res: int) -> str:
+    digits = [
+        f"CAST((({iy} >> {res - i}) & 1)*2 + (({ix} >> {res - i}) & 1) AS VARCHAR)"
+        for i in range(res + 1)
+    ]
+    return "concat(" + ", ".join(digits) + ")"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# a fixed pentagon in reduced space with no horizontal edges (PIP oracle)
+PIP_POLYGON = [
+    (0.00, -0.45),
+    (0.42, -0.10),
+    (0.25, 0.40),
+    (-0.28, 0.38),
+    (-0.40, -0.12),
+]
+
+
+def _pip_sql(x: str, y: str) -> str:
+    terms = []
+    n = len(PIP_POLYGON)
+    for i in range(n):
+        ax, ay = PIP_POLYGON[i]
+        bx, by = PIP_POLYGON[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({ay!r} > {y}) <> ({by!r} > {y})) AND "
+            f"({x} < ({bx!r} - {ax!r}) * ({y} - {ay!r}) / ({by!r} - {ay!r}) + {ax!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# ====================================================================
+# Spark-side query functions
+# ====================================================================
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (§2.12 relational built-ins + W5-style agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: window top-k per group (events)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"), "rnk")
+    )
+
+
+def q_running_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W4: running-sum budget prefix (break at first overflow)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    cum = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.withColumn("cum_value", cum)
+        .filter(F.col("cum_value") <= 500.0)
+        .select("user_id", "event_id", F.round("cum_value", 2).alias("cum_value"))
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog tumbling window agg (batch form; §2.10 note)."""
+    ev = _t(spark, sf_dir, "events")
+    win = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return (
+        ev.groupBy(win.alias("win_start"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 1800 s starts a new session per user."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(SESSION_SQL_SPARK)
+
+
+SESSION_SQL_CORE = """
+WITH marked AS (
+  SELECT user_id, event_id, {epoch} AS es,
+         CASE WHEN {epoch} - LAG({epoch}) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+SESSION_SQL_SPARK = SESSION_SQL_CORE.format(epoch="unix_timestamp(ts)")
+# FLOOR before cast: duckdb double->bigint cast ROUNDS, Spark's
+# unix_timestamp FLOORS sub-second timestamps
+SESSION_SQL_DUCK = SESSION_SQL_CORE.format(epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: sentence split + token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    sentences = F.split(F.col("text"), r"\.|!|\?|\n")
+    non_empty = F.filter(sentences, lambda s: F.trim(s) != "")
+    return docs.select(
+        "doc_id",
+        spark_token_count(F.col("text")).alias("n_tokens"),
+        F.size(non_empty).alias("n_sentences"),
+    )
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 exploded: each non-blank sentence with its token count."""
+    docs = _t(spark, sf_dir, "documents")
+    sentences = F.split(F.col("text"), r"\.|!|\?|\n")
+    df = docs.select("doc_id", F.explode(sentences).alias("sentence"))
+    df = df.filter(F.trim(F.col("sentence")) != "")
+    return df.withColumn("n_tokens", spark_token_count(F.col("sentence")))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    parts = [
+        tile_ops.tile(xy, r).select("vec_id", "resolution", "cell_id") for r in range(4)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_tile_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    return tile_ops.tile_soft(xy, 3, soft_eps=0.15).select("vec_id", "cell_id", "is_soft")
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 recast: per-cell aggregation over the resolution ladder."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    parts = [
+        tile_ops.tile(xy, r).select("vec_id", "label", "resolution", "cell_id")
+        for r in range(4)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("resolution", "cell_id").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("label").alias("n_labels"),
+        F.round(F.avg("label"), 6).alias("avg_label"),
+    )
+
+
+def q_density_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    return rasterize(xy, 0.125)
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = knn_ops.brute_force_knn(queries, nodes, k=K)
+    # + 0.0 folds IEEE -0.0 (float-noise negative self-distance) to 0.0
+    return out.select(
+        "query_id", "node_id", "rank", (F.round("dist", 6) + F.lit(0.0)).alias("dist")
+    )
+
+
+def q_knn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship tile-pruned kNN at fixed ring=1, res=2 (hard home
+    cells both sides) — semantics exactly mirrored in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    nodes = xy.select(F.col("vec_id").alias("node_id"), "embedding", "x", "y")
+    tiles = tile_ops.tile(nodes, 2).select("node_id", "resolution", "cell_id")
+    queries = xy.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        "x",
+        "y",
+    )
+    out = knn_ops.tile_knn(
+        queries, nodes.select("node_id", "embedding"), tiles, resolution=2, k=K, ring=1, max_ring=1
+    )
+    return out.select(
+        "query_id", "node_id", "rank", (F.round("dist", 6) + F.lit(0.0)).alias("dist")
+    )
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    return xy.select(
+        "vec_id", point_in_polygon_expr(F.col("x"), F.col("y"), PIP_POLYGON).alias("inside")
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets/rollup (§2.12 built-in coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join + agg: orders x customer -> per-nation stats."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: customers without orders, per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, min_cosine=0.35)
+
+
+# ----------------------------- rows-only (no SQL oracle) ------------
+
+
+def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 stateful chunk packing (not SQL-expressible; pytest covers
+    parity vs the reference kernel)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=60)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.35)
+
+
+def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", make_simhash_udf()(F.col("text")).alias("simhash"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", make_fingerprint_udf()(F.col("text")).alias("fingerprint"))
+
+
+def q_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end collapsed retrieval over documents with the hash
+    embedder (rows-only: embedder is not SQL)."""
+    from raptor_rag_spark.operators.retrieve import embed_queries, retrieve_collapsed
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=60)
+    nodes = (
+        embed_texts(chunks, dim=DIM)
+        .withColumnRenamed("chunk_id", "node_id")
+        .withColumn("layer", F.lit(0))
+    )
+    nodes = tile_ops.reduce_2d(nodes, dim=DIM, seed=CFG.seed)
+    queries = spark.createDataFrame(
+        [(0, "table scan join"), (1, "window aggregate"), (2, "stream filter data")],
+        "query_id long, text string",
+    )
+    q = embed_queries(queries, dim=DIM)
+    kept, _ctx = retrieve_collapsed(q, nodes, method="brute", k=5, max_tokens=200)
+    return kept.select("query_id", "node_id", "rank", F.round("dist", 6).alias("dist"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raptor_rag_spark.operators.multimodal import (
+        decode_features,
+        fake_decode,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=48)
+    out = decode_features(media, decode_fn=fake_decode)
+    return out.select("media_id", "kind", "n_bytes", F.size("feature").alias("feature_dim"))
+
+
+# ====================================================================
+# Registry
+# ====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "topk_per_group": q_topk_per_group,
+    "running_budget": q_running_budget,
+    "tumbling_window": q_tumbling_window,
+    "sessionize": q_sessionize,
+    "doc_stats": q_doc_stats,
+    "sentences": q_sentences,
+    "dedup_exact": q_dedup_exact,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "tile_assign": q_tile_assign,
+    "tile_soft": q_tile_soft,
+    "cell_rollup": q_cell_rollup,
+    "density_raster": q_density_raster,
+    "knn_brute": q_knn_brute,
+    "knn_tiled": q_knn_tiled,
+    "pip": q_pip,
+    "rollup": q_rollup,
+    "join_agg": q_join_agg,
+    "semi_anti": q_semi_anti,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    # rows-only
+    "chunks": q_chunks,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_sig": q_simhash_sig,
+    "fingerprint": q_fingerprint,
+    "collapsed_retrieval": q_collapsed_retrieval,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+def _lang_id_sql() -> str:
+    from raptor_rag_spark.operators.textstats import STOPWORDS
+
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        lst = "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        hit_cols.append(
+            f"len(list_filter(words, w -> list_contains({lst}, w))) AS h_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    # argmax with lexicographic tie-break == first lang whose count is
+    # >= all later langs' counts and > all earlier? Simpler: CASE chain
+    # checking h_x >= every other h (earlier langs win ties).
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"h_{lang} {op} h_{other}")
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    total = " + ".join(f"h_{lang}" for lang in langs)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), h AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM w
+)
+SELECT doc_id, CASE WHEN {total} = 0 THEN 'und' ELSE {case_sql} END AS lang_pred FROM h
+"""
+
+
+def oracle_sql_map() -> dict[str, str]:
+    g2 = _grid_sql("x", 2)
+    tile_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {r} AS resolution, {_quadkey_sql('ix', 'iy', r)} AS cell_id "
+        f"FROM (SELECT vec_id, {_grid_sql('x', r)} AS ix, {_grid_sql('y', r)} AS iy FROM xy)"
+        for r in range(4)
+    )
+    tile_union_lbl = "\nUNION ALL\n".join(
+        f"SELECT vec_id, label, {r} AS resolution, {_quadkey_sql('ix', 'iy', r)} AS cell_id "
+        f"FROM (SELECT vec_id, label, {_grid_sql('x', r)} AS ix, {_grid_sql('y', r)} AS iy FROM xy)"
+        for r in range(4)
+    )
+
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "topk_per_group": """
+SELECT event_type, event_id, ROUND(value, 2) AS value, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+""",
+        "running_budget": """
+SELECT user_id, event_id, ROUND(cum_value, 2) AS cum_value
+FROM (
+  SELECT user_id, event_id,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+  FROM events
+) WHERE cum_value <= 500.0
+""",
+        "tumbling_window": """
+SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": SESSION_SQL_DUCK,
+        "doc_stats": f"""
+SELECT doc_id,
+       CAST({duckdb_token_count_expr('text')} AS INT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(text, '\\.|!|\\?|\\n'), s -> trim(s) <> '')) AS INT) AS n_sentences
+FROM documents
+""",
+        "sentences": f"""
+SELECT doc_id, sentence, CAST({duckdb_token_count_expr('sentence')} AS INT) AS n_tokens
+FROM (
+  SELECT doc_id, unnest(string_split_regex(text, '\\.|!|\\?|\\n')) AS sentence
+  FROM documents
+) WHERE trim(sentence) <> ''
+""",
+        "dedup_exact": """
+SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+GROUP BY norm
+""",
+        "quality": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_words,
+         {duckdb_token_count_expr('text')} AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_words, n_tokens,
+         CASE WHEN n_words > 0 THEN (n_chars - spaces) * 1.0 / n_words ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS INT) AS n_chars, CAST(n_words AS INT) AS n_words,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(GREATEST(1.0
+         - (CASE WHEN n_words < 5 THEN 0.5 ELSE 0.0 END)
+         - (CASE WHEN digit_ratio > 0.3 THEN 0.3 ELSE 0.0 END)
+         - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END)
+         - (CASE WHEN alpha_ratio < 0.5 THEN 0.2 ELSE 0.0 END), 0.0), 6) AS quality_score
+FROM m
+""",
+        "lang_id": _lang_id_sql(),
+        "tile_assign": f"WITH {XY_CTE}\n{tile_union}",
+        "tile_soft": f"""
+WITH {XY_CTE},
+g AS (
+  SELECT vec_id, x, y, {_grid_sql('x', 3)} AS ix, {_grid_sql('y', 3)} AS iy FROM xy
+),
+f AS (
+  SELECT vec_id, ix, iy,
+         (x + 1.0) / 2.0 * 16.0 - ix AS fx,
+         (y + 1.0) / 2.0 * 16.0 - iy AS fy
+  FROM g
+),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+kept AS (
+  SELECT vec_id, ix + dx AS ix, iy + dy AS iy, (dx <> 0 OR dy <> 0) AS is_soft
+  FROM f, offs
+  WHERE (dx = 0 OR (dx = -1 AND fx < 0.15 AND ix > 0) OR (dx = 1 AND fx > (1.0 - 0.15) AND ix < 15))
+    AND (dy = 0 OR (dy = -1 AND fy < 0.15 AND iy > 0) OR (dy = 1 AND fy > (1.0 - 0.15) AND iy < 15))
+)
+SELECT vec_id, {_quadkey_sql('ix', 'iy', 3)} AS cell_id, is_soft FROM kept
+""",
+        "cell_rollup": f"""
+WITH {XY_CTE},
+t AS ({tile_union_lbl})
+SELECT resolution, cell_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+       ROUND(AVG(label), 6) AS avg_label
+FROM t GROUP BY resolution, cell_id
+""",
+        "density_raster": f"""
+WITH {XY_CTE}
+SELECT CAST(FLOOR(x / 0.125) AS INT) AS gx, CAST(FLOOR(y / 0.125) AS INT) AS gy,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM xy GROUP BY 1, 2
+""",
+        "knn_brute": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS node_id,
+         1.0 - list_dot_product(q.qe, e.embedding::DOUBLE[]) AS dist
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, node_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, node_id, CAST(rank AS INT) AS rank, ROUND(dist, 6) + 0.0 AS dist
+FROM ranked WHERE rank <= {K}
+""",
+        "knn_tiled": f"""
+WITH {XY_CTE},
+pts AS (SELECT vec_id, x, y, {g2} AS ix, {_grid_sql('y', 2)} AS iy FROM xy),
+nodes AS (SELECT p.vec_id AS node_id, e.embedding::DOUBLE[] AS emb, p.ix, p.iy
+          FROM pts p JOIN embeddings e ON e.vec_id = p.vec_id),
+q AS (SELECT p.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.ix, p.iy
+      FROM pts p JOIN embeddings e ON e.vec_id = p.vec_id WHERE p.vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, n.node_id, 1.0 - list_dot_product(q.qe, n.emb) AS dist
+  FROM q JOIN nodes n
+    ON abs(q.ix - n.ix) <= 1 AND abs(q.iy - n.iy) <= 1
+), ranked AS (
+  SELECT query_id, node_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, node_id, CAST(rank AS INT) AS rank, ROUND(dist, 6) + 0.0 AS dist
+FROM ranked WHERE rank <= {K}
+""",
+        "pip": f"""
+WITH {XY_CTE}
+SELECT vec_id, {_pip_sql('x', 'y')} AS inside FROM xy
+""",
+        "rollup": """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "join_agg": """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+        "semi_anti": """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""",
+        "ngram_jaccard": """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                          i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) AS sh
+  FROM w
+), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.3
+""",
+        "embedding_neardup": """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.35
+""",
+    }
