@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
         .select("node_id", "text", "n_tokens", "embedding")
     )
     nodes = reduce_2d(nodes, dim=dim).cache()
-    tiles = tile_assignments(nodes, "node_id", [res])
+    tiles = tile_assignments(nodes, "node_id", [res]).cache()
 
     queries = spark.createDataFrame(
         [
