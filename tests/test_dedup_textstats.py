@@ -1,0 +1,125 @@
+"""Dedup + text-analysis operators: planted-duplicate recall and
+python-oracle checks."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    _shingle_set,
+)
+from raptor_rag_spark.operators.multimodal import decode_features, fake_decode, synthetic_media
+from raptor_rag_spark.operators.textstats import STOPWORDS, lang_id, quality_metrics
+
+BASE_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "a completely different document about spark query planning and shuffles"),
+    (2, "yet another text concerning window functions and aggregate pushdown rules"),
+    (3, "der hund läuft schnell und die katze ist nicht da mit auf zu"),
+    (4, "el perro corre y la casa es un lugar que se ve en no"),
+]
+# planted near-duplicates of doc 0 and exact dup of doc 1
+DUPS = [
+    (100, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (101, "a completely different document about spark query planning and shuffles"),
+    (102, "A  Completely   different document about Spark query planning and shuffles"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(BASE_DOCS + DUPS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_normalized(docs):
+    kept = exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # 101 and 102 normalize to doc 1's text -> only 1 survives
+    assert 1 in ids and 101 not in ids and 102 not in ids
+    assert len(ids) == len(BASE_DOCS) + 1  # 100 is not an exact dup
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs and (1, 102) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_estimates_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(docs, n_hashes=64, bands=16, threshold=0.3).collect()
+    }
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs and pairs[(1, 101)] == 1.0
+    # estimate within tolerance of true jaccard for the planted pair
+    true_j = len(set(_shingle_set(BASE_DOCS[0][1], 3)) & set(_shingle_set(DUPS[0][1], 3))) / len(
+        set(_shingle_set(BASE_DOCS[0][1], 3)) | set(_shingle_set(DUPS[0][1], 3))
+    )
+    assert abs(pairs[(0, 100)] - true_j) < 0.25
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert (1, 101) in pairs and pairs[(1, 101)] == 0
+    assert (0, 100) in pairs and pairs[(0, 100)] <= 10
+
+
+def test_embedding_neardup_planted(spark):
+    rng = np.random.RandomState(5)
+    base = rng.randn(20, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[0] + rng.randn(16) * 0.01
+    near /= np.linalg.norm(near)
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(base)] + [
+        (99, [float(v) for v in near])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_neardup_pairs(df, min_cosine=0.98).collect()}
+    assert (0, 99) in pairs and pairs[(0, 99)] > 0.99
+    # no spurious pairs among independent random vectors
+    assert all(a == 0 and b == 99 for a, b in pairs)
+
+
+def test_lang_id_heuristic(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).collect()}
+    assert got[0] == "en" and got[3] == "de" and got[4] == "es"
+
+
+def test_quality_metrics_oracle(spark):
+    df = spark.createDataFrame(
+        [(0, "Good sentence with enough words to pass the filters."), (1, "123 456 789"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_metrics(df).collect()}
+    assert rows[0]["quality_score"] == 1.0
+    assert rows[1]["digit_ratio"] > 0.5 and rows[1]["quality_score"] < 1.0
+    assert rows[2]["n_words"] == 0 and rows[2]["quality_score"] >= 0.0
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=24)
+    feats = decode_features(media, decode_fn=fake_decode).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r["feature"]) == 16
+        norm = sum(v * v for v in r["feature"])
+        assert abs(norm - 1.0) < 1e-5
+    # stub path: without a decode_fn the kernel must raise clearly
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_features(media).collect()
+
+
+def test_frame_sample_plan(spark):
+    from raptor_rag_spark.operators.multimodal import frame_sample_plan
+
+    media = synthetic_media(spark, n=24)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    assert rows and all(r["n"] >= 1 for r in rows)

@@ -1,0 +1,105 @@
+"""Tree build: level loop, checkpoint manifests, resume, structure
+properties (reference semantics: cluster_tree_builder.py:55-151)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.config import EngineConfig
+from raptor_rag_spark.datagen import synthetic_pages
+from raptor_rag_spark.operators.chunk import chunk_documents
+from raptor_rag_spark.operators.embed import embed_texts
+from raptor_rag_spark.operators.tree import (
+    build_tree,
+    extractive_summary,
+    last_complete_level,
+)
+
+CFG = EngineConfig(embedding_dim=32, min_level_nodes=4)
+
+
+@pytest.fixture(scope="module")
+def leaves(spark):
+    pages = synthetic_pages(spark, n=120, seed=42)
+    docs = pages.select(F.col("page_id").alias("doc_id"), "text")
+    chunks = chunk_documents(docs, max_tokens=60)
+    return (
+        embed_texts(chunks, dim=32)
+        .withColumnRenamed("chunk_id", "node_id")
+        .select("node_id", "text", "n_tokens", "embedding")
+        .cache()
+    )
+
+
+def test_extractive_summary_deterministic():
+    texts = ["First point. Second point.", "Another doc here. More text!"]
+    s1 = extractive_summary(texts, 30)
+    s2 = extractive_summary(texts, 30)
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_build_checkpoints_and_structure(spark, leaves, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("tree"))
+    nodes = build_tree(spark, leaves, base, CFG, start_resolution=3, embed_dim=32)
+    layers = {r["layer"]: r["n"] for r in nodes.groupBy("layer").agg(F.count("*").alias("n")).collect()}
+    assert 0 in layers and len(layers) >= 2, layers
+    # monotone shrink above the leaves
+    sizes = [layers[k] for k in sorted(layers)]
+    assert all(a > b for a, b in zip(sizes, sizes[1:])), sizes
+
+    # manifests: per-level lineage + row counts match
+    lvl = last_complete_level(base)
+    assert lvl == max(layers)
+    for layer in sorted(layers):
+        with open(os.path.join(base, f"level={layer}", "_MANIFEST.json")) as f:
+            man = json.load(f)
+        assert man["rows"] == layers[layer]
+        assert sum(man["partitions"].values()) == man["rows"]
+        assert "lineage" in man and "wall_sec" in man
+
+    # every non-leaf child id exists in a LOWER layer exactly
+    parents = nodes.filter(F.col("layer") > 0).select(
+        "layer", F.explode("children").alias("child_id")
+    )
+    ids = nodes.select(F.col("node_id").alias("child_id"), F.col("layer").alias("child_layer"))
+    joined = parents.join(ids, "child_id", "left")
+    assert joined.filter(F.col("child_layer").isNull()).count() == 0
+    assert joined.filter(F.col("child_layer") != F.col("layer") - 1).count() == 0
+
+    # every leaf reachable: union of layer-1 children covers all leaves
+    covered = (
+        nodes.filter(F.col("layer") == 1)
+        .select(F.explode("children").alias("node_id"))
+        .distinct()
+    )
+    n_leaves = nodes.filter(F.col("layer") == 0).count()
+    assert covered.count() == n_leaves
+
+
+def test_resume_mid_build_identical(spark, leaves, tmp_path_factory):
+    full_base = str(tmp_path_factory.mktemp("tree_full"))
+    nodes_full = build_tree(spark, leaves, full_base, CFG, start_resolution=3, embed_dim=32)
+
+    # simulate a crash after level 1: copy levels 0..1, then resume
+    resumed_base = str(tmp_path_factory.mktemp("tree_resumed"))
+    import shutil
+
+    for lvl in (0, 1):
+        shutil.copytree(
+            os.path.join(full_base, f"level={lvl}"),
+            os.path.join(resumed_base, f"level={lvl}"),
+        )
+    assert last_complete_level(resumed_base) == 1
+    nodes_resumed = build_tree(spark, leaves, resumed_base, CFG, start_resolution=3, embed_dim=32)
+
+    a = sorted(map(tuple, nodes_full.select("node_id", "layer", "cell_id", "text").collect()))
+    b = sorted(map(tuple, nodes_resumed.select("node_id", "layer", "cell_id", "text").collect()))
+    assert a == b
+
+
+def test_node_ids_unique(spark, leaves, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("tree_ids"))
+    nodes = build_tree(spark, leaves, base, CFG, start_resolution=3, embed_dim=32)
+    assert nodes.count() == nodes.select("node_id").distinct().count()
