@@ -73,17 +73,34 @@ def _decode_num(ref: str) -> str:
 EXTRACT_SCHEMA = "url string, text string"
 
 
-def extract_pages(pages: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
-    """pages(url, html binary, ...) -> (url, text). Column-pruned scan:
-    only url+html are read; the binary column dies here."""
+def extract_pages(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """pages(url, html binary, ...) -> (url, [passthrough...], text).
+
+    Column-pruned scan: only url+html+passthrough are read; the binary
+    column dies here. ``passthrough`` carries narrow key columns (e.g.
+    page_id) through the kernel so callers don't need a self-join back
+    to the pages table (that join re-reads/re-generates the source and
+    shuffles on url — measured as a whole extra pipeline stage)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [pages.schema[url_col]]
+        + [pages.schema[c] for c in passthrough]
+        + [T.StructField("text", T.StringType())]
+    )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "url": pdf[url_col],
-                    "text": [extract_text(h) for h in pdf[html_col]],
-                }
-            )
+            data = {url_col: pdf[url_col]}
+            for c in passthrough:
+                data[c] = pdf[c]
+            data["text"] = [extract_text(h) for h in pdf[html_col]]
+            yield pd.DataFrame(data)
 
-    return pages.select(url_col, html_col).mapInPandas(run, EXTRACT_SCHEMA)
+    cols = [url_col, *passthrough, html_col]
+    return pages.select(*cols).mapInPandas(run, out_schema)

@@ -102,24 +102,37 @@ def _assign_cells_with_cap(
     (resolution, cell_id). Driver fixed-point loop, <= max_resolution
     iterations; each pass is one groupBy + one semi/anti join."""
     assigned = None
-    current = nodes
+    current = nodes.localCheckpoint(eager=False)  # cut upstream lineage once
     res = start_res
     while True:
         t = tile(current, res).drop("ix", "iy")
         if res >= cfg.max_resolution:
             assigned = t if assigned is None else assigned.unionByName(t)
             break
-        cell_tokens = t.groupBy("cell_id").agg(F.sum("n_tokens").alias("_sum"))
-        over = cell_tokens.filter(F.col("_sum") > cfg.max_tokens_in_cluster).select("cell_id")
-        # cells over cap AND with >1 member get re-tiled finer; singleton
-        # over-cap cells stay (reference single-node base case)
-        sizes = t.groupBy("cell_id").agg(F.count("*").alias("_n"))
-        splittable = over.join(sizes.filter(F.col("_n") > 1), "cell_id", "left_semi")
-        ok = t.join(splittable, "cell_id", "left_anti")
-        redo = t.join(splittable, "cell_id", "left_semi").drop("resolution", "cell_id")
-        assigned = ok if assigned is None else assigned.unionByName(ok)
-        if not redo.take(1):
+        # one agg decides both conditions; cells over the token cap AND
+        # with >1 member re-tile finer (singleton over-cap cells stay —
+        # reference single-node base case, cluster_utils.py:161-163)
+        stats = t.groupBy("cell_id").agg(
+            F.sum("n_tokens").alias("_sum"), F.count("*").alias("_n")
+        )
+        splittable = (
+            stats.filter(
+                (F.col("_sum") > cfg.max_tokens_in_cluster) & (F.col("_n") > 1)
+            )
+            .select("cell_id")
+            .localCheckpoint(eager=True)  # tiny; reused by two joins below
+        )
+        n_split = splittable.count()
+        if n_split == 0:
+            assigned = t if assigned is None else assigned.unionByName(t)
             break
+        ok = t.join(F.broadcast(splittable), "cell_id", "left_anti")
+        assigned = ok if assigned is None else assigned.unionByName(ok)
+        redo = (
+            t.join(F.broadcast(splittable), "cell_id", "left_semi")
+            .drop("resolution", "cell_id")
+            .localCheckpoint(eager=True)  # shrinks every round; pin it
+        )
         current = redo
         res += 1
     return assigned

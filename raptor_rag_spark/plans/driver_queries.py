@@ -413,6 +413,152 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "kind", "n_bytes", F.size("feature").alias("feature_dim"))
 
 
+def q_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: the reference's threshold mode keeps dist > threshold
+    (distance, not similarity — quirk preserved)."""
+    from raptor_rag_spark.operators.knn import threshold_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    ranked = knn_ops.brute_force_knn(queries, nodes, k=20)
+    out = threshold_select(ranked, 0.55)
+    return out.select(
+        "query_id", "node_id", "rank", (F.round("dist", 6) + F.lit(0.0)).alias("dist")
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (query:/passage: prefixing), P9 (newline->space), P4
+    (splitlines-exact flattening) as one scalar-function surface."""
+    from raptor_rag_spark.operators.knn import flatten_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    prefixed = F.when(
+        ~F.col("text").rlike("^(query:|passage:)"),
+        F.concat(F.lit("query: "), F.col("text")),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        prefixed.alias("prefixed"),
+        F.regexp_replace(F.col("text"), "\n", " ").alias("no_newlines"),
+        flatten_lines(F.col("text")).alias("flattened"),
+    )
+
+
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 invariant: the engine embedder emits unit-norm vectors of the
+    configured dim (reference e5 vectors are normalized,
+    production_test_report.json:70-72) — the oracle states the
+    invariant as literals."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_texts(docs, dim=DIM)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 5).alias("norm"),
+    )
+
+
+def q_cell_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-cell extractive summarization (groupBy + applyInPandas
+    UDAF shape). Rows-only: the summarizer is not SQL."""
+    from raptor_rag_spark.operators.tree import build_level
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=60)
+    nodes = (
+        embed_texts(chunks, dim=DIM)
+        .withColumnRenamed("chunk_id", "node_id")
+        .select("node_id", "text", "n_tokens", "embedding")
+    )
+    nodes = tile_ops.reduce_2d(nodes, dim=DIM, seed=CFG.seed)
+    parents = build_level(nodes, layer=1, resolution=2, cfg=CFG)
+    return parents.select(
+        "node_id", "cell_id", F.size("children").alias("n_children"), "n_tokens"
+    )
+
+
+def q_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-traversal retrieval over a 2-level built tree (rows-only:
+    build involves the summarizer + hash embedder)."""
+    import tempfile
+
+    from raptor_rag_spark.operators.retrieve import embed_queries, retrieve_traversal
+    from raptor_rag_spark.operators.tree import build_tree
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=60)
+    leaves = (
+        embed_texts(chunks, dim=DIM)
+        .withColumnRenamed("chunk_id", "node_id")
+        .select("node_id", "text", "n_tokens", "embedding")
+    )
+    base = tempfile.mkdtemp(prefix="rrs_tree_")
+    nodes = build_tree(
+        spark, leaves, base, CFG, start_resolution=2, max_layers=2, embed_dim=DIM, resume=False
+    )
+    queries = spark.createDataFrame(
+        [(0, "table scan join"), (1, "window aggregate group")],
+        "query_id long, text string",
+    )
+    q = embed_queries(queries, dim=DIM)
+    sel, _ctx = retrieve_traversal(q, nodes, k=3)
+    return sel.select("query_id", "node_id", "sel_layer", "rank")
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: latency-percentile shape (exact percentiles so the DuckDB
+    oracle matches bit-for-bit after rounding; approx_percentile is
+    engine-specific and only used for BENCH sanity)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: INTERSECT and EXCEPT over user sets."""
+    ev = _t(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    error = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = signup.intersect(error).withColumn("set_kind", F.lit("both"))
+    only_signup = signup.exceptAll(error).withColumn("set_kind", F.lit("signup_only"))
+    return both.unionByName(only_signup)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.12 checklist): for each signup event, the most
+    recent prior click by the same user. Composed from built-ins
+    (join + window), the Spark-native as-of pattern."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    click = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    j = signup.join(click, "user_id").filter(F.col("c_ts") <= F.col("s_ts"))
+    w = Window.partitionBy("signup_id").orderBy(F.col("c_ts").desc(), F.col("click_id").desc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("signup_id", "user_id", "click_id")
+    )
+
+
 # ====================================================================
 # Registry
 # ====================================================================
@@ -440,7 +586,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti": q_semi_anti,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "knn_threshold": q_knn_threshold,
+    "text_normalize": q_text_normalize,
+    "embed_norm": q_embed_norm,
+    "percentiles": q_percentiles,
+    "set_ops": q_set_ops,
+    "asof_join": q_asof_join,
     # rows-only
+    "cell_summary": q_cell_summary,
+    "traversal_retrieval": q_traversal_retrieval,
     "chunks": q_chunks,
     "minhash_pairs": q_minhash_pairs,
     "simhash_sig": q_simhash_sig,
@@ -675,6 +829,62 @@ SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
+""",
+        "knn_threshold": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS node_id,
+         1.0 - list_dot_product(q.qe, e.embedding::DOUBLE[]) AS dist
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, node_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, node_id, CAST(rank AS INT) AS rank, ROUND(dist, 6) + 0.0 AS dist
+FROM ranked WHERE rank <= 20 AND dist > 0.55
+""",
+        "text_normalize": """
+SELECT doc_id,
+       CASE WHEN NOT regexp_matches(text, '^(query:|passage:)')
+            THEN 'query: ' || text ELSE text END AS prefixed,
+       regexp_replace(text, '\\n', ' ', 'g') AS no_newlines,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '\\r\\n', chr(10), 'g'),
+           '[\\n\\r\\x0B\\f\\x1C-\\x1E\\x{0085}\\x{2028}\\x{2029}]$', ''),
+         '[\\n\\r\\x0B\\f\\x1C-\\x1E\\x{0085}\\x{2028}\\x{2029}]', ' ', 'g') AS flattened
+FROM documents
+""",
+        "embed_norm": """
+SELECT doc_id, CAST(64 AS INT) AS dim, 1.0 AS norm FROM documents
+""",
+        "percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+        "set_ops": """
+WITH signup AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+error AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS set_kind FROM (SELECT user_id FROM signup INTERSECT SELECT user_id FROM error)
+UNION ALL
+SELECT user_id, 'signup_only' AS set_kind FROM (SELECT user_id FROM signup EXCEPT SELECT user_id FROM error)
+""",
+        "asof_join": """
+WITH signup AS (
+  SELECT event_id AS signup_id, user_id, ts AS s_ts FROM events WHERE event_type = 'signup'
+), click AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT s.signup_id, s.user_id, c.click_id,
+         ROW_NUMBER() OVER (PARTITION BY s.signup_id ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+  FROM signup s JOIN click c ON s.user_id = c.user_id AND c.c_ts <= s.s_ts
+)
+SELECT signup_id, user_id, click_id FROM j WHERE rn = 1
 """,
         "ngram_jaccard": """
 WITH w AS (

@@ -1,0 +1,109 @@
+"""Adaptive quadtree tiles + adaptive kNN: partition properties and
+recall floor."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.operators.knn import brute_force_knn, tile_knn_adaptive
+from raptor_rag_spark.operators.tile import (
+    adaptive_tile_assignments,
+    reduce_2d,
+)
+
+N = 3000
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.RandomState(9)
+    # skewed: half the points in a tight blob (hot region), half uniform
+    blob = rng.randn(N // 2, DIM) * 0.02 + rng.randn(1, DIM)
+    rest = rng.randn(N - N // 2, DIM)
+    vecs = np.vstack([blob, rest]).astype(np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "node_id long, embedding array<float>",
+    )
+    return reduce_2d(df, dim=DIM).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def atiles(points):
+    return adaptive_tile_assignments(
+        points, "node_id", base_resolution=2, max_occupancy=64, max_resolution=8
+    ).localCheckpoint(eager=True)
+
+
+def test_partition_of_points(points, atiles):
+    """Every point in exactly one cell."""
+    assert atiles.count() == N
+    assert atiles.select("node_id").distinct().count() == N
+
+
+def test_occupancy_capped_below_max_res(atiles):
+    over = (
+        atiles.filter(F.col("resolution") < 8)
+        .groupBy("cell_key")
+        .count()
+        .filter(F.col("count") > 64)
+        .count()
+    )
+    assert over == 0
+
+
+def test_skew_forces_subdivision(atiles):
+    """The hot blob must land at finer resolutions than the base."""
+    per_res = {r["resolution"]: r["n"] for r in atiles.groupBy("resolution").agg(F.count("*").alias("n")).collect()}
+    assert max(per_res) > 2, per_res
+    assert sum(n for r, n in per_res.items() if r > 2) > N // 4
+
+
+def test_coarsest_valid_resolution(points, atiles):
+    """A point's parent cell (one res coarser) must have been over-cap
+    — otherwise the point would have stopped there."""
+    from raptor_rag_spark.operators.tile import cell_key_col
+
+    finer = atiles.filter(F.col("resolution") > 2)
+    rows = finer.groupBy("resolution").agg(F.count("*").alias("n")).collect()
+    assert rows
+    for res_row in rows:
+        r = res_row["resolution"]
+        pts_r = (
+            points.join(finer.filter(F.col("resolution") == r).select("node_id"), "node_id")
+            .select("node_id", cell_key_col(F.col("x"), F.col("y"), r - 1).alias("parent_key"))
+        )
+        parent_occ = (
+            points.select(cell_key_col(F.col("x"), F.col("y"), r - 1).alias("parent_key"))
+            .groupBy("parent_key")
+            .agg(F.count("*").alias("occ"))
+        )
+        bad = pts_r.join(parent_occ, "parent_key").filter(F.col("occ") <= 64).count()
+        assert bad == 0, f"res {r}: {bad} points whose parent was under cap"
+
+
+def test_adaptive_knn_recall_floor(spark, points, atiles):
+    k = 10
+    q = (
+        points.orderBy("node_id")
+        .limit(64)
+        .select(
+            F.col("node_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = points.select("node_id", "embedding")
+    bf = brute_force_knn(q, nodes, k=k).localCheckpoint(eager=True)
+    tk = tile_knn_adaptive(q, nodes, atiles, k=k, ring=3, max_ring=8).localCheckpoint(eager=True)
+    counts = {r["query_id"]: r["n"] for r in tk.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v == k for v in counts.values()), "every query must get k hits"
+    recall = (
+        tk.select("query_id", "node_id").intersect(bf.select("query_id", "node_id")).count()
+        / bf.count()
+    )
+    assert recall >= 0.8, recall
