@@ -559,6 +559,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a hot key (lang is Zipf-
+    skewed). Result identical to a plain GROUP BY — the oracle proves
+    the salting is purely physical."""
+    from raptor_rag_spark.operators.skew import salted_count_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_count_sum(docs, ["lang"], sum_col="n_chars", salt=8)
+
+
 # ====================================================================
 # Registry
 # ====================================================================
@@ -592,6 +602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "set_ops": q_set_ops,
     "asof_join": q_asof_join,
+    "salted_rollup": q_salted_rollup,
     # rows-only
     "cell_summary": q_cell_summary,
     "traversal_retrieval": q_traversal_retrieval,
@@ -858,6 +869,10 @@ FROM documents
 """,
         "embed_norm": """
 SELECT doc_id, CAST(64 AS INT) AS dim, 1.0 AS norm FROM documents
+""",
+        "salted_rollup": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents GROUP BY lang
 """,
         "percentiles": """
 SELECT event_type,

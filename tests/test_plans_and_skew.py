@@ -1,0 +1,113 @@
+"""Physical-plan audits (the plan we WANT, not just one that passes)
+and salted-aggregation equivalence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.operators.skew import (
+    detect_hot_keys,
+    salted_count_sum,
+    salted_join,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_returnflag", "l_quantity"}, cols
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Spark 4 pushes rank<=k as WindowGroupLimit before the full sort —
+    the plan shape that keeps per-partition state at k rows."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    q = ev.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 3)
+    q.collect()
+    assert "WindowGroupLimit" in _plan(q)
+
+
+def test_candidate_join_is_broadcast(spark):
+    """The tile candidate equi-join must broadcast the (small) query
+    side, not shuffle the node tile table."""
+    from raptor_rag_spark.operators.knn import tile_knn_candidates
+    from raptor_rag_spark.operators.tile import reduce_2d, tile_assignments
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(500, 16).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    nodes = reduce_2d(
+        spark.createDataFrame(
+            [(i, [float(v) for v in r]) for i, r in enumerate(vecs)],
+            "node_id long, embedding array<float>",
+        ),
+        dim=16,
+    )
+    tiles = tile_assignments(nodes, "node_id", [3])
+    q = nodes.limit(4).select(F.col("node_id").alias("query_id"), "x", "y")
+    cand = tile_knn_candidates(q, tiles, resolution=3, ring=1)
+    cand.collect()
+    plan = _plan(cand)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_salted_agg_equals_plain(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    salted = {
+        (r["lang"]): (r["n"], r["sum_n_chars"])
+        for r in salted_count_sum(docs, ["lang"], sum_col="n_chars", salt=8).collect()
+    }
+    plain = {
+        (r["lang"]): (r["n"], r["s"])
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n"), F.sum("n_chars").alias("s")).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = ev.select("event_type").distinct().withColumn("tag", F.upper("event_type"))
+    plain = ev.join(dim, "event_type").select("event_id", "tag")
+    salted = salted_join(ev, dim, "event_type", salt=4).select("event_id", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_detect_hot_keys_finds_planted_skew(spark):
+    rows = [(i, "hot" if i % 10 < 8 else f"cold{i % 50}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    hot = {r["k"] for r in detect_hot_keys(df, ["k"], threshold_ratio=4.0, sample=0.5).collect()}
+    assert hot == {"hot"}
+
+
+def test_brute_knn_big_side_never_shuffled(spark):
+    """brute_force_knn streams the node side map-side; the only
+    exchange in the plan is the tiny partial-top-k shuffle."""
+    from raptor_rag_spark.operators.knn import brute_force_knn
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(400, 8).astype(np.float32)
+    nodes = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(vecs)],
+        "node_id long, embedding array<float>",
+    )
+    q = nodes.limit(3).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = brute_force_knn(q, nodes, k=5)
+    out.collect()
+    plan = _plan(out)
+    # no join at all: scoring is mapInPandas against broadcast queries
+    assert "Join" not in plan, plan
