@@ -559,6 +559,25 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: density cells back to polygons + centroids
+    (C6/north_rule raster<->vector conversion), SQL-checkable via the
+    centroid/corner arithmetic."""
+    from raptor_rag_spark.operators.spatial import vectorize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    v = vectorize(rasterize(xy, 0.125), 0.125)
+    return v.select(
+        "gx",
+        "gy",
+        F.col("n").alias("n"),
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        F.size("boundary").alias("n_vertices"),
+    )
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a hot key (lang is Zipf-
     skewed). Result identical to a plain GROUP BY — the oracle proves
@@ -603,6 +622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "asof_join": q_asof_join,
     "salted_rollup": q_salted_rollup,
+    "raster_vectorize": q_raster_vectorize,
     # rows-only
     "cell_summary": q_cell_summary,
     "traversal_retrieval": q_traversal_retrieval,
@@ -869,6 +889,19 @@ FROM documents
 """,
         "embed_norm": """
 SELECT doc_id, CAST(64 AS INT) AS dim, 1.0 AS norm FROM documents
+""",
+        "raster_vectorize": f"""
+WITH {XY_CTE},
+r AS (
+  SELECT CAST(FLOOR(x / 0.125) AS INT) AS gx, CAST(FLOOR(y / 0.125) AS INT) AS gy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM xy GROUP BY 1, 2
+)
+SELECT gx, gy, n,
+       ROUND((gx * 0.125 + (gx * 0.125 + 0.125)) / 2, 6) AS cx,
+       ROUND((gy * 0.125 + (gy * 0.125 + 0.125)) / 2, 6) AS cy,
+       CAST(4 AS INT) AS n_vertices
+FROM r
 """,
         "salted_rollup": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
