@@ -103,7 +103,10 @@ def knn_flagship(spark, nodes, tiles, n_queries: int = 200, k: int = 10):
     return out.count()
 
 
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000"))
+# sized so the ~5 s serial fraction (final agg + scheduling) is <5% of
+# the small-size runtime — below that the efficiency measures the
+# driver, not the plan
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000"))
 
 
 def scaling_worker(cores: int) -> None:
@@ -218,6 +221,29 @@ def main() -> None:
         n_docs_holder["chunks"] = n_chunks
 
     timed("build_pipeline", _build)
+
+    def _tree_build():
+        import tempfile
+
+        from raptor_rag_spark.config import EngineConfig
+        from raptor_rag_spark.operators.chunk import chunk_documents
+        from raptor_rag_spark.operators.embed import embed_texts
+        from raptor_rag_spark.operators.tree import build_tree
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        chunks = chunk_documents(docs, max_tokens=60)
+        leaves = (
+            embed_texts(chunks, dim=DIM)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "text", "n_tokens", "embedding")
+        )
+        base = tempfile.mkdtemp(prefix="bench_tree_")
+        build_tree(
+            spark, leaves, base, EngineConfig(embedding_dim=DIM),
+            start_resolution=4, max_layers=6, embed_dim=DIM,
+        ).count()
+
+    timed("tree_build_full", _tree_build)
     corpus = {}
     timed("corpus_materialize", lambda: corpus.update(zip(("nodes", "tiles"), corpus_nodes(spark, SF_DIR))))
     timed("knn_tiled_200q", lambda: knn_flagship(spark, corpus["nodes"], corpus["tiles"], 200, 10))
@@ -258,6 +284,9 @@ def main() -> None:
         "throughput": {
             "build_docs_per_sec": round(n_docs_holder.get("docs", 0) / build_t, 2),
             "build_chunks_per_sec": round(n_docs_holder.get("chunks", 0) / build_t, 2),
+            "tree_build_docs_per_sec": round(
+                n_docs_holder.get("docs", 0) / timings["tree_build_full"], 2
+            ),
             "knn_queries_per_sec": round(1000 / knn_t, 2),
         },
     }

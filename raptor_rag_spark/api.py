@@ -1,0 +1,135 @@
+"""User-facing engine facade — the reference's RetrievalAugmentation
+surface (/root/reference/raptor/RetrievalAugmentation.py: add_documents
+:195-211, retrieve :213-299, retrieve_batch :301-335, save :337-342,
+load-from-path :166-180, answer_question via QA model) re-expressed
+DataFrame-native. A reference user switches by swapping:
+
+    RA = RetrievalAugmentation(); RA.add_documents(text)
+    RA.retrieve(question, top_k=5, collapse_tree=True)
+
+for:
+
+    eng = RaptorEngine(spark, checkpoint_base=path)
+    eng.add_documents(docs_df_or_text)
+    eng.retrieve(["question", ...], top_k=5, collapse_tree=True)
+
+Batch is the native shape (queries are rows); a single string is the
+degenerate 1-row case. ``save`` is implicit: every tree level is
+already checkpointed; a new RaptorEngine over the same base resumes
+(reference pickle save/load ≡ checkpoint dir).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.config import DEFAULT_CONFIG, EngineConfig
+from raptor_rag_spark.operators.chunk import chunk_documents
+from raptor_rag_spark.operators.embed import embed_texts
+from raptor_rag_spark.operators.tree import build_tree, last_complete_level
+from raptor_rag_spark.operators.retrieve import (
+    embed_queries,
+    retrieve_collapsed,
+    retrieve_traversal,
+)
+
+
+class RaptorEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_base: str,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        embed_dim: int | None = None,
+        start_resolution: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.base = checkpoint_base
+        self.dim = embed_dim or cfg.embedding_dim
+        self.start_resolution = start_resolution
+        self.nodes: DataFrame | None = None
+        if last_complete_level(checkpoint_base) >= 0:
+            self._load()
+
+    # ---------------------------------------------------------- build
+
+    def add_documents(self, docs, text_col: str = "text", id_col: str = "doc_id") -> None:
+        """docs: a DataFrame(doc_id, text) or a single string (the
+        reference's whole-corpus-as-one-string shape). Rebuilding over
+        an existing checkpoint resumes from the last complete level
+        (reference add_documents overwrites after a prompt; the engine
+        is resumable instead)."""
+        if isinstance(docs, str):
+            docs = self.spark.createDataFrame([(0, docs)], f"{id_col} long, {text_col} string")
+        chunks = chunk_documents(docs, id_col=id_col, text_col=text_col, max_tokens=self.cfg.max_tokens)
+        leaves = (
+            embed_texts(chunks, dim=self.dim)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "text", "n_tokens", "embedding")
+        )
+        self.nodes = build_tree(
+            self.spark,
+            leaves,
+            self.base,
+            self.cfg,
+            start_resolution=self.start_resolution,
+            embed_dim=self.dim,
+        ).cache()
+
+    def _load(self) -> None:
+        self.nodes = build_tree(
+            self.spark,
+            self.spark.createDataFrame([], "node_id long, text string, n_tokens int, embedding array<float>"),
+            self.base,
+            self.cfg,
+            start_resolution=self.start_resolution,
+            embed_dim=self.dim,
+            resume=True,
+        ).cache()
+
+    # -------------------------------------------------------- retrieve
+
+    def _query_df(self, questions) -> DataFrame:
+        if isinstance(questions, str):
+            questions = [questions]
+        if isinstance(questions, list):
+            rows = [(i, q) for i, q in enumerate(questions)]
+            questions = self.spark.createDataFrame(rows, "query_id long, text string")
+        return embed_queries(questions, dim=self.dim)
+
+    def retrieve(
+        self,
+        questions,
+        top_k: int | None = None,
+        max_tokens: int | None = None,
+        collapse_tree: bool = True,
+        method: str = "brute",
+        return_layer_information: bool = False,
+    ):
+        """Returns {query_id: context_string} (+ selected-node rows when
+        return_layer_information, mirroring the reference flag)."""
+        if self.nodes is None:
+            raise ValueError("no tree built — call add_documents first "
+                             "(reference raises the same way, RetrievalAugmentation.py:254)")
+        q = self._query_df(questions)
+        if collapse_tree:
+            sel, ctx = retrieve_collapsed(
+                q, self.nodes, self.cfg, method=method, k=top_k, max_tokens=max_tokens
+            )
+        else:
+            sel, ctx = retrieve_traversal(q, self.nodes, self.cfg, k=top_k)
+        contexts = {r["query_id"]: r["context"] for r in ctx.collect()}
+        if return_layer_information:
+            return contexts, sel
+        return contexts
+
+    def answer_question(self, question: str, qa_fn=None, **kw) -> str:
+        """Reference answer_question with the QA model pluggable (the
+        deterministic default returns the leading context sentences —
+        no LLM in this environment)."""
+        ctx = self.retrieve(question, **kw)[0]
+        if qa_fn is not None:
+            return qa_fn(ctx, question)
+        return " ".join(ctx.split("\n\n")[0].split(". ")[:2])

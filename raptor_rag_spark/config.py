@@ -8,7 +8,7 @@ dataclass; scalar defaults trace to the reference where they exist.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

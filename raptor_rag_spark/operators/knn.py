@@ -35,12 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raptor_rag_spark.config import DEFAULT_CONFIG
-from raptor_rag_spark.operators.tile import (
-    grid_index,
-    morton_key,
-    neighbor_cells,
-    neighbor_keys,
-)
+from raptor_rag_spark.operators.tile import grid_index, neighbor_cells
 
 
 def dot_product(a: Column, b: Column) -> Column:

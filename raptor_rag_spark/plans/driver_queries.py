@@ -28,7 +28,6 @@ from raptor_rag_spark.operators import tile as tile_ops
 from raptor_rag_spark.operators.dedup import (
     exact_dedup_groups,
     embedding_neardup_pairs,
-    make_minhash_udf,
     make_simhash_udf,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -38,7 +37,6 @@ from raptor_rag_spark.operators.chunk import chunk_documents
 from raptor_rag_spark.operators.embed import embed_texts
 from raptor_rag_spark.operators.spatial import point_in_polygon_expr, rasterize
 from raptor_rag_spark.tokenizer import (
-    TOKEN_PATTERN,
     duckdb_token_count_expr,
     spark_token_count,
 )

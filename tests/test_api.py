@@ -1,0 +1,71 @@
+"""RaptorEngine facade: build -> retrieve -> resume-from-checkpoint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.api import RaptorEngine
+from raptor_rag_spark.config import EngineConfig
+
+CFG = EngineConfig(embedding_dim=32, min_level_nodes=4)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("api_tree"))
+    eng = RaptorEngine(spark, base, CFG, embed_dim=32, start_resolution=3)
+    from raptor_rag_spark.datagen import synthetic_pages
+
+    docs = synthetic_pages(spark, n=80, seed=42).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    eng.add_documents(docs)
+    return base, eng
+
+
+def test_build_and_collapsed_retrieve(built):
+    _, eng = built
+    ctx = eng.retrieve(["berber dukkani", "data processing shuffle"], top_k=3, max_tokens=300)
+    assert set(ctx) == {0, 1}
+    assert all(c.endswith("\n\n") for c in ctx.values())
+    assert all(len(c) > 0 for c in ctx.values())
+
+
+def test_traversal_retrieve_with_layers(built):
+    _, eng = built
+    ctx, sel = eng.retrieve(
+        "veri isleme", top_k=2, collapse_tree=False, return_layer_information=True
+    )
+    assert 0 in ctx
+    layers = {r["sel_layer"] for r in sel.collect()}
+    assert len(layers) >= 2  # visited multiple tree layers
+
+
+def test_single_string_corpus(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("api_str"))
+    eng = RaptorEngine(spark, base, CFG, embed_dim=32, start_resolution=2)
+    eng.add_documents("One sentence here. Another sentence there. A third one now.")
+    ctx = eng.retrieve("sentence", top_k=2)
+    assert ctx[0]
+
+
+def test_reopen_resumes_from_checkpoint(spark, built):
+    base, eng = built
+    reopened = RaptorEngine(spark, base, CFG, embed_dim=32, start_resolution=3)
+    assert reopened.nodes is not None
+    a = sorted(r["node_id"] for r in eng.nodes.select("node_id").collect())
+    b = sorted(r["node_id"] for r in reopened.nodes.select("node_id").collect())
+    assert a == b
+
+
+def test_retrieve_before_build_raises(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("api_empty"))
+    eng = RaptorEngine(spark, base, CFG, embed_dim=32)
+    with pytest.raises(ValueError, match="no tree"):
+        eng.retrieve("anything")
+
+
+def test_answer_question_deterministic(built):
+    _, eng = built
+    a1 = eng.answer_question("berber", top_k=2)
+    a2 = eng.answer_question("berber", top_k=2)
+    assert a1 == a2 and isinstance(a1, str) and a1
