@@ -9,8 +9,83 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from raptor_rag_spark.operators.knn import brute_force_knn, tile_knn
-from raptor_rag_spark.operators.tile import reduce_2d, tile_assignments
+from raptor_rag_spark.operators.knn import (
+    _rank_and_take,
+    _score_candidates,
+    brute_force_knn,
+    probe_cells,
+    tile_knn,
+)
+from raptor_rag_spark.operators.tile import (
+    adaptive_tile_assignments,
+    reduce_2d,
+    tile_assignments,
+)
+
+
+class TileAnnIndex:
+    """Multi-projection adaptive-quadtree ANN index (IVF/LSH analog).
+
+    Each projection seed gives an independent 2-D tiling; candidates
+    are the UNION of the per-projection probe joins — a true neighbor
+    missed by one random projection is usually caught by another
+    (measured on the skewed 147k-chunk corpus, k=10: recall 0.88 with
+    one projection at ring 2 -> 0.94 with two). ``ring`` stays the
+    recall/cost knob at query time.
+
+    Build state is plain DataFrames (localCheckpoint'ed) + small
+    broadcastable key sets — nothing driver-resident beyond that, so
+    the index scales with the cluster like any other table.
+    """
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        id_col: str = "node_id",
+        dim: int | None = None,
+        seeds: tuple[int, ...] = (224, 777),
+        base_resolution: int = 3,
+        max_occupancy: int = 256,
+        max_resolution: int = 9,
+    ) -> None:
+        if dim is None:
+            dim = len(nodes.select("embedding").first()[0])
+        self.dim = dim
+        self.id_col = id_col
+        self.nodes = nodes.select(F.col(id_col).alias("node_id"), "embedding").localCheckpoint(
+            eager=True
+        )
+        self.views = []
+        for seed in seeds:
+            xy = reduce_2d(self.nodes, dim=dim, seed=seed).localCheckpoint(eager=True)
+            atiles = adaptive_tile_assignments(
+                xy, "node_id", base_resolution, max_occupancy, max_resolution
+            ).localCheckpoint(eager=True)
+            keys = {int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()}
+            resolutions = sorted(
+                r["resolution"] for r in atiles.select("resolution").distinct().collect()
+            )
+            self.views.append((seed, xy, atiles, keys, resolutions))
+
+    def search(self, queries: DataFrame, k: int = 10, ring: int = 2) -> DataFrame:
+        """queries(query_id, q_embedding) -> (query_id, node_id, dist,
+        rank<=k). Exact cosine over the unioned candidate set."""
+        q = queries.localCheckpoint(eager=True)
+        cands = None
+        for seed, _xy, atiles, keys, resolutions in self.views:
+            q_xy = reduce_2d(
+                q.withColumnRenamed("q_embedding", "embedding"), dim=self.dim, seed=seed
+            ).select(F.col("query_id"), "x", "y")
+            pc = probe_cells(q_xy, keys, resolutions, ring)
+            c = (
+                F.broadcast(pc)
+                .join(atiles.select("node_id", "cell_key"), "cell_key")
+                .select("query_id", "node_id")
+            )
+            cands = c if cands is None else cands.unionByName(c)
+        cands = cands.dropDuplicates(["query_id", "node_id"])
+        scored = _score_candidates(cands.join(self.nodes, "node_id"), q)
+        return _rank_and_take(scored, k)
 
 
 def cosine_topk(

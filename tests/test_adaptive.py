@@ -107,3 +107,29 @@ def test_adaptive_knn_recall_floor(spark, points, atiles):
         / bf.count()
     )
     assert recall >= 0.8, recall
+
+
+def test_multi_projection_index_recall(spark, points):
+    """Two independent projections beat one (union of candidates)."""
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    idx = TileAnnIndex(
+        points, id_col="node_id", dim=DIM, seeds=(224, 777),
+        base_resolution=2, max_occupancy=64, max_resolution=8,
+    )
+    q = (
+        points.orderBy("node_id")
+        .limit(64)
+        .select(
+            F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+    )
+    got = idx.search(q, k=10, ring=2).localCheckpoint(eager=True)
+    bf = brute_force_knn(q, points.select("node_id", "embedding"), k=10).localCheckpoint(
+        eager=True
+    )
+    recall = (
+        got.select("query_id", "node_id").intersect(bf.select("query_id", "node_id")).count()
+        / bf.count()
+    )
+    assert recall >= 0.85, recall
