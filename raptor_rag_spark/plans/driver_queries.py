@@ -399,6 +399,24 @@ def q_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("query_id", "node_id", "rank", F.round("dist", 6).alias("dist"))
 
 
+def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-projection adaptive-quadtree ANN search (rows-only: the
+    candidate set is projection-dependent; exactness vs brute force is
+    a measured recall, pytest-floored at 0.85)."""
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = TileAnnIndex(
+        emb.select(F.col("vec_id").alias("node_id"), "embedding"),
+        dim=DIM, seeds=(224, 777), base_resolution=2, max_occupancy=64, max_resolution=7,
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = idx.search(q, k=K, ring=2)
+    return out.select("query_id", "node_id", "rank")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raptor_rag_spark.operators.multimodal import (
         decode_features,
@@ -630,6 +648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "collapsed_retrieval": q_collapsed_retrieval,
     "multimodal_features": q_multimodal_features,
+    "ann_index_search": q_ann_index_search,
 }
 
 
