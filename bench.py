@@ -249,6 +249,37 @@ def main() -> None:
     timed("knn_tiled_200q", lambda: knn_flagship(spark, corpus["nodes"], corpus["tiles"], 200, 10))
     timed("knn_tiled_1000q", lambda: knn_flagship(spark, corpus["nodes"], corpus["tiles"], 1000, 10))
 
+    # measured recall of the tile-pruned join vs exact brute force
+    recall_holder = {}
+
+    def _recall():
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.operators.knn import brute_force_knn, tile_knn_adaptive
+
+        nodes, tiles = corpus["nodes"], corpus["tiles"]
+        q = (
+            nodes.orderBy("node_id")
+            .limit(200)
+            .select(
+                F.col("node_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+                "x",
+                "y",
+            )
+            .localCheckpoint(eager=True)
+        )
+        bf = brute_force_knn(q, nodes.select("node_id", "embedding"), k=10).localCheckpoint(
+            eager=True
+        )
+        tk = tile_knn_adaptive(
+            q, nodes.select("node_id", "embedding"), tiles, k=10, ring=3, max_ring=8
+        ).localCheckpoint(eager=True)
+        inter = tk.select("query_id", "node_id").intersect(bf.select("query_id", "node_id"))
+        recall_holder["recall_at_10"] = round(inter.count() / bf.count(), 4)
+
+    timed("knn_recall_measure", _recall)
+
     queries = em.queries()
     for name in (
         "pricing_summary",
@@ -288,6 +319,7 @@ def main() -> None:
                 n_docs_holder.get("docs", 0) / timings["tree_build_full"], 2
             ),
             "knn_queries_per_sec": round(1000 / knn_t, 2),
+            "knn_recall_at_10_vs_exact": recall_holder.get("recall_at_10"),
         },
     }
     spark.stop()

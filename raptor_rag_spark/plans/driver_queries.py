@@ -594,6 +594,15 @@ def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets CUBE (§2.12 checklist, alongside rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a hot key (lang is Zipf-
     skewed). Result identical to a plain GROUP BY — the oracle proves
@@ -639,6 +648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "salted_rollup": q_salted_rollup,
     "raster_vectorize": q_raster_vectorize,
+    "cube": q_cube,
     # rows-only
     "cell_summary": q_cell_summary,
     "traversal_retrieval": q_traversal_retrieval,
@@ -919,6 +929,11 @@ SELECT gx, gy, n,
        ROUND((gy * 0.125 + (gy * 0.125 + 0.125)) / 2, 6) AS cy,
        CAST(4 AS INT) AS n_vertices
 FROM r
+""",
+        "cube": """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "salted_rollup": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
