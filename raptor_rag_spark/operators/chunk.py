@@ -103,15 +103,24 @@ def chunk_documents(
     max_tokens: int = 100,
     overlap: int = 0,
     tokenizer_factory: Callable | None = None,
+    id_scheme: str = "arith",
 ) -> DataFrame:
     """documents(id, text) -> chunks(doc_id, chunk_idx, text, n_tokens).
 
-    One applyInPandas group per document. A global dense ``chunk_id``
-    is derivable as a deterministic function of (doc_id, chunk_idx);
-    we expose ``chunk_id = doc_id * 2^20 + chunk_idx`` (documents are
-    web pages; 1M chunks/doc is a safe bound) to avoid a global sort
-    at 10^12 scale — monotonically_increasing_id is not stable and
-    row_number over all rows is a single-partition sort.
+    A global ``chunk_id`` is a deterministic function of (doc_id,
+    chunk_idx) — never monotonically_increasing_id (not stable) or a
+    global row_number (single-partition sort at 10^12 scale). Two
+    schemes:
+
+    - ``id_scheme='arith'`` (default): chunk_id = doc_id * 2^20 +
+      chunk_idx — DENSE and ORDER-PRESERVING, but only valid for
+      |doc_id| < 2^43 (the multiply overflows a long otherwise; under
+      ANSI mode that's an ARITHMETIC_OVERFLOW crash, without ANSI a
+      silent wrap that costs ~50% id-collision odds at ~4M docs). The
+      bound is validated per row with raise_error, not assumed.
+    - ``id_scheme='hash'``: chunk_id = xxhash64(doc_id, chunk_idx) —
+      full 64-bit mixing, safe for ANY doc_id (e.g. doc_id itself a
+      64-bit url hash, streaming/incremental ingest). Not dense.
     """
     factory = tokenizer_factory or (lambda: DEFAULT_TOKENIZER)
 
@@ -137,6 +146,21 @@ def chunk_documents(
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
     chunks = src.mapInPandas(chunk_batches, schema=CHUNK_SCHEMA)
-    return chunks.withColumn(
-        "chunk_id", (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).cast("long")
-    )
+    if id_scheme == "hash":
+        cid = F.xxhash64(F.col("doc_id"), F.col("chunk_idx"))
+    elif id_scheme == "arith":
+        bound = 1 << 43
+        cid = F.when(
+            (F.col("doc_id") > F.lit(-bound)) & (F.col("doc_id") < F.lit(bound)),
+            (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "chunk_id arith scheme needs |doc_id| < 2^43; "
+                    "use id_scheme='hash' for hashed doc ids"
+                )
+            ).cast("long")
+        )
+    else:
+        raise ValueError(f"unknown id_scheme {id_scheme!r} (use 'arith' or 'hash')")
+    return chunks.withColumn("chunk_id", cid)

@@ -31,20 +31,40 @@ from raptor_rag_spark.tokenizer import _TOKEN_RE
 
 # ---------------------------------------------------------------- exact
 
+# explicit whitespace class: Java \s includes \x0B, RE2 (DuckDB) \s does
+# not — spelled out so Spark and the oracle normalize identically
+# (same trap the tokenizer guards against, tokenizer.py TOKEN_PATTERN)
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
 
 def normalized_text(col: Column) -> Column:
     """lower + collapse runs of whitespace + trim — the usual exact-dup
     canonical form."""
-    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), WS_CLASS + "+", " "))
+
+
+def _norm_key(norm: Column) -> Column:
+    """Shuffle key for exact dedup: a 160-bit hash (md5 + xxhash64 + len)
+    of the normalized text instead of the text itself — at 100 TB the
+    group key would otherwise BE the document. Collision probability at
+    10^12 docs is ~10^-15; the composite key keeps it negligible."""
+    return F.struct(
+        F.md5(norm).alias("h128"),
+        F.xxhash64(norm).alias("h64"),
+        F.length(norm).alias("len"),
+    )
 
 
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(norm_text groups) -> keep_id = min id, n_dups. One shuffle."""
+    """(norm_text groups) -> keep_id = min id, n_dups. One shuffle of
+    (hash-key, id) pairs — the document text never enters the shuffle."""
     return (
-        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_norm"))
-        .groupBy("_norm")
+        df.select(
+            F.col(id_col), _norm_key(normalized_text(F.col(text_col))).alias("_k")
+        )
+        .groupBy("_k")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
         .select("keep_id", "n_dups")
     )
@@ -53,8 +73,10 @@ def exact_dedup_groups(
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Rows whose id is the group representative (min id per norm text)."""
     keep = (
-        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("_norm"))
-        .groupBy("_norm")
+        df.select(
+            F.col(id_col), _norm_key(normalized_text(F.col(text_col))).alias("_k")
+        )
+        .groupBy("_k")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
@@ -66,16 +88,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Array of word n-grams — pure JVM (split + sequence + transform).
-    Single-word-or-shorter docs yield the whole text as one shingle."""
+    Docs shorter than n words yield the whole text as one shingle:
+    F.get (0-based) returns NULL past the array end even under ANSI
+    mode (element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT on
+    any short doc) and concat_ws skips NULLs."""
     words = F.split(normalized_text(col), " ")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - 1)
     return F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            " ", *[F.get(words, (i + j).cast("int")) for j in range(n)]
         ),
     )
+
+
+DEFAULT_MAX_DF = 5000
 
 
 def ngram_jaccard_pairs(
@@ -84,13 +112,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard >= threshold.
 
     Pure JVM: distinct shingles explode -> self-equi-join on shingle ->
     |A∩B| per pair -> Jaccard. ``max_df`` drops shingles occurring in
-    more than that many docs (stopword-run skew guard at scale).
+    more than that many docs (stopword-run skew guard: ONE shingle in D
+    docs yields D^2/2 candidate pairs, so the cap is on by default —
+    pass None to disable; note a pair sharing only dropped shingles is
+    then missed, the standard cap trade-off).
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"))
@@ -165,6 +196,26 @@ def make_minhash_udf(n_hashes: int = 64, shingle_n: int = 3):
     return minhash
 
 
+def make_exact_jaccard_udf(shingle_n: int = 3):
+    """(text_a, text_b) -> exact shingle-set Jaccard, Arrow-batched.
+    Used to verify LSH candidate pairs — candidates are rare, so
+    shipping the two texts to one kernel is cheap."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jacc(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ta, tb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            sa, sb = set(_shingle_set(a, shingle_n)), set(_shingle_set(b, shingle_n))
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return jacc
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -173,12 +224,17 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    verify: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: sign -> band -> bucket equi-join ->
-    exact verify. Signature similarity (fraction of agreeing hashes)
-    estimates Jaccard; candidates then verified with true shingle
-    Jaccard via ngram machinery."""
+    verify. With ``verify=True`` (default) candidate pairs are checked
+    with the EXACT shingle-set Jaccard (texts joined back per pair —
+    candidates are rare, so this is cheap) and filtered on the true
+    value; ``est_jaccard`` (fraction of agreeing signature hashes) is
+    kept alongside. With ``verify=False`` the output is the LSH
+    ESTIMATE only, filtered on est_jaccard."""
     rows_per_band = n_hashes // bands
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
     sig = df.select(
         F.col(id_col).alias("id"),
         make_minhash_udf(n_hashes, shingle_n)(F.col(text_col)).alias("sig"),
@@ -207,10 +263,18 @@ def minhash_dedup_pairs(
             F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
             / F.lit(float(n_hashes)),
         )
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
-    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
+    if not verify:
+        return est.filter(F.col("est_jaccard") >= threshold)
+    jacc = make_exact_jaccard_udf(shingle_n)
+    verified = (
+        est.join(texts.select(F.col("id").alias("id_a"), F.col("_txt").alias("_ta")), "id_a")
+        .join(texts.select(F.col("id").alias("id_b"), F.col("_txt").alias("_tb")), "id_b")
+        .withColumn("jaccard", F.round(jacc(F.col("_ta"), F.col("_tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
     )
+    return verified.select("id_a", "id_b", "est_jaccard", "jaccard")
 
 
 # -------------------------------------------------------------- simhash
@@ -291,62 +355,97 @@ def simhash_pairs(
 # ----------------------------------------------- embedding near-dup
 
 
+_NEARDUP_SCHEMA = "id_a long, id_b long, cosine double"
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     min_cosine: float = 0.95,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """ALL pairs (a < b) with cosine similarity >= min_cosine — exact.
+    """ALL pairs (a < b) with cosine similarity >= min_cosine — exact,
+    fully distributed (no driver collect anywhere in the plan).
 
-    Physical strategy: one normalized float32 matrix is broadcast to
-    executors and each Arrow batch of rows does a single BLAS matmul
-    against it (rows x all), emitting only qualifying pairs. This is
-    the standard blocked all-pairs kernel; a Catalyst higher-order-fn
-    cosine over the crossJoin is ~20x slower (measured 41.7s vs <2s at
-    2000 rows). The broadcast side caps at ~10^6 rows x 64 dims
-    (256 MB); beyond that, block the build side or use the
-    tile-bucketed variant (similarity.self_similarity_pairs), which
-    prunes candidates by cell co-location instead of scanning all
-    pairs.
+    Physical strategy — blocked all-pairs: rows are hashed into
+    ``n_blocks`` blocks; each row is replicated once per counterpart
+    block, keyed by the unordered block pair (i<=j), and one
+    ``applyInPandas`` group per block pair does a chunked BLAS matmul
+    between the two blocks, emitting only qualifying pairs. Shuffle
+    volume is N * n_blocks rows; executor memory per group is two
+    blocks (N/n_blocks rows each) plus a bounded sims chunk — pick
+    n_blocks so a block fits in executor memory (N=10^9 x 64-dim f64 at
+    n_blocks=1024 is ~500 MB/block). A Catalyst higher-order-fn cosine
+    over the crossJoin is ~1000x slower per pair (measured; see
+    NOTES_r1.md §2) and the crossJoin itself is O(N^2) rows — this
+    never materializes non-qualifying pairs. For metric-pruned (not
+    all-pairs-exact) search at scale, see
+    similarity.self_similarity_pairs, which prunes by tile co-location.
     """
-    from pyspark.sql import types as T
+    if n_blocks is None:
+        # enough block pairs (~b^2/2) to cover the cluster's cores
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(4, int((2.5 * par) ** 0.5))
+    b = int(n_blocks)
 
-    rows = df.select(id_col, emb_col).toPandas()
-    ids = np.array(rows[id_col], dtype=np.int64)
-    mat = np.array(list(rows[emb_col]), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(emb_col).alias("_emb")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(b)).cast("int"))
+    # replicate each row once per counterpart block; key = unordered pair
+    rep = base.withColumn(
+        "_other", F.explode(F.array(*[F.lit(i) for i in range(b)]))
+    ).select(
+        F.least("_blk", "_other").alias("_ka"),
+        F.greatest("_blk", "_other").alias("_kb"),
+        "_id",
+        "_emb",
+        "_blk",
     )
 
-    def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            my_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            my_mat = np.array(list(pdf[emb_col]), dtype=np.float64)
-            my_norms = np.linalg.norm(my_mat, axis=1)
-            my_norms[my_norms == 0] = 1.0
-            sims = (my_mat @ all_mat.T) / np.outer(my_norms, all_norms)
-            ii, jj = np.nonzero((sims >= min_cosine) & (my_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": my_ids[ii],
-                    "id_b": all_ids[jj],
-                    "cosine": np.round(sims[ii, jj], 6),
-                }
+    def pair_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_emb"]), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        blk = pdf["_blk"].to_numpy(dtype=np.int64)
+        if ka == kb:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            a_idx = np.nonzero(blk == ka)[0]
+            b_idx = np.nonzero(blk == kb)[0]
+        out_a, out_b, out_c = [], [], []
+        # chunk the matmul so the sims slab stays ~256 MB regardless of
+        # block size
+        chunk = max(1, (1 << 25) // max(len(b_idx), 1))
+        idb, matb, nrmb = ids[b_idx], mat[b_idx], nrm[b_idx]
+        for s in range(0, len(a_idx), chunk):
+            sel = a_idx[s : s + chunk]
+            sims = (mat[sel] @ matb.T) / np.outer(nrm[sel], nrmb)
+            mask = sims >= min_cosine
+            if ka == kb:
+                # same block on both sides: keep each unordered pair once
+                mask &= ids[sel][:, None] < idb[None, :]
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                ia, ib = ids[sel][ii], idb[jj]
+                # blocks are disjoint when ka != kb: the full cross
+                # covers each unordered pair exactly once, in either
+                # id order — canonicalize to id_a < id_b
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_c.append(np.round(sims[ii, jj], 6))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
-    return df.select(id_col, emb_col).mapInPandas(block, out_schema)
+    return rep.groupBy("_ka", "_kb").applyInPandas(pair_kernel, _NEARDUP_SCHEMA)

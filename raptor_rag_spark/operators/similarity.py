@@ -127,36 +127,53 @@ def self_similarity_pairs(
     item_id: str = "vec_id",
     dim: int | None = None,
 ) -> DataFrame:
-    """Tile-bucketed near-dup pair search: candidates co-located in the
-    same soft cell (border band catches cross-boundary pairs), exact
-    cosine verify. The quadratic blowup is per-cell, bounded by cell
-    occupancy — the scale path for embedding near-dup."""
-    from raptor_rag_spark.operators.knn import dot_product
+    """Tile-bucketed near-dup pair search: candidates must be co-located
+    in the same soft cell (the border band catches cross-boundary
+    pairs), then exact cosine verify. The quadratic blowup is per-cell,
+    bounded by cell occupancy — the metric-pruned scale path for
+    embedding near-dup (vs the exact blocked all-pairs in
+    dedup.embedding_neardup_pairs, whose shuffle is N * n_blocks rows).
+
+    Scoring is a per-cell ``applyInPandas`` matmul: each cell group
+    builds its (occupancy x dim) matrix once and emits qualifying pairs
+    from one BLAS product — no per-pair Catalyst higher-order functions
+    (interpreted, ~0.27 ms/row measured) and no pair rows carrying two
+    embeddings through a shuffle: only (id, embedding, cell) shuffles,
+    amplified by the soft-band factor (<= 4x, corner case)."""
+    import numpy as np
+    import pandas as pd
+
+    from raptor_rag_spark.operators.tile import tile_soft
 
     if dim is None:
         dim = len(items.select("embedding").first()[0])
     xy = reduce_2d(items, dim=dim)
-    from raptor_rag_spark.operators.tile import tile_soft
-
     t = tile_soft(xy, resolution).select(
-        F.col(item_id).alias("id"), "cell_id", "embedding"
+        F.col(item_id).cast("long").alias("id"), "cell_id", "embedding"
     )
-    pairs = (
-        t.alias("l")
-        .join(t.alias("r"), "cell_id")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.embedding").alias("e_a"),
-            F.col("r.embedding").alias("e_b"),
+
+    def cell_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        # soft assignment can put the same point into this cell via
+        # several (dx,dy) offsets only across DIFFERENT cells, but be
+        # safe against duplicate ids within a group
+        _, uniq = np.unique(ids, return_index=True)
+        ids = ids[uniq]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        mat = np.array(list(pdf["embedding"].iloc[uniq]), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        ii, jj = np.nonzero((sims >= min_cosine) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine": np.round(sims[ii, jj], 6)}
         )
-        .dropDuplicates(["id_a", "id_b"])
+
+    pairs = t.groupBy("cell_id").applyInPandas(
+        cell_kernel, "id_a long, id_b long, cosine double"
     )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))  # noqa: E731
-    cos = dot_product(F.col("e_a"), F.col("e_b")) / (norm(F.col("e_a")) * norm(F.col("e_b")))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    # a pair co-located in several soft cells is emitted once per cell
+    return pairs.dropDuplicates(["id_a", "id_b"])

@@ -74,7 +74,21 @@ def salted_join(
     the small (build) side is exploded x salt so every salted partition
     finds its match. Use when AQE's skew split can't help (e.g. the
     build side itself must co-locate). Result identical to a plain
-    join on ``key``."""
+    join on ``key``.
+
+    Supported ``how``: inner, left (+ left_outer), left_semi,
+    left_anti — all big-side-preserving joins are salt-safe because
+    every salt value of a matching key exists on the exploded small
+    side, and unmatched big rows carry their salt through to a null
+    (or are kept/dropped wholesale for semi/anti). right/full would
+    duplicate UNMATCHED small rows once per salt — not supported; put
+    the preserved side on the left."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} "
+            "(right/full would duplicate unmatched build rows per salt)"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed=13) * salt).cast("int"))
     small_s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = big_s.join(small_s, [key, "_salt"], how)

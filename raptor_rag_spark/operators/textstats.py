@@ -30,10 +30,15 @@ STOPWORDS = {
 }
 
 
+# explicit class: Java \s includes \x0B, RE2 (DuckDB) \s does not
+WS_SPLIT = r"[ \t\n\r\f\x0B]+"
+
+
 def words_col(col: Column) -> Column:
     """lowercased whitespace words, empties dropped — identical
-    semantics expressible in DuckDB."""
-    return F.filter(F.split(F.lower(col), "\\s+"), lambda w: w != "")
+    semantics expressible in DuckDB (whitespace class spelled out so
+    both regex engines agree on \\x0B)."""
+    return F.filter(F.split(F.lower(col), WS_SPLIT), lambda w: w != "")
 
 
 def stopword_hits(col: Column, lang: str) -> Column:

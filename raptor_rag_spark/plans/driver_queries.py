@@ -26,6 +26,7 @@ from raptor_rag_spark.config import EngineConfig
 from raptor_rag_spark.operators import knn as knn_ops
 from raptor_rag_spark.operators import tile as tile_ops
 from raptor_rag_spark.operators.dedup import (
+    DEFAULT_MAX_DF as DEDUP_MAX_DF,
     exact_dedup_groups,
     embedding_neardup_pairs,
     make_simhash_udf,
@@ -269,17 +270,41 @@ def q_density_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize(xy, 0.125)
 
 
+def _rerank_rounded(out: DataFrame, k: int) -> DataFrame:
+    """Contract-query ranking: rank on (round(dist,6), node_id) instead
+    of the raw double — Spark's BLAS matmul and DuckDB's sequential
+    list_dot_product can differ in the last ulp on near-tied distances,
+    which would flip row_number ranks and fail the hash compare. The
+    operator's own rank (unrounded + node_id tie-break) remains the
+    engine semantics; the margin rows fetched above k absorb rounding
+    ties at the k boundary."""
+    from pyspark.sql import Window
+
+    # + 0.0 folds IEEE -0.0 (float-noise negative self-distance) to 0.0
+    rdist = (F.round("dist", 6) + F.lit(0.0)).alias("dist")
+    w = Window.partitionBy("query_id").orderBy(
+        (F.round("dist", 6) + F.lit(0.0)).asc(), F.col("node_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "node_id", "rank", rdist)
+    )
+
+
+# margin rows fetched beyond k so re-ranking on the rounded distance
+# cannot lose a row that rounding pulls across the k boundary
+RANK_MARGIN = 3
+
+
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     nodes = emb.select(F.col("vec_id").alias("node_id"), "embedding")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    out = knn_ops.brute_force_knn(queries, nodes, k=K)
-    # + 0.0 folds IEEE -0.0 (float-noise negative self-distance) to 0.0
-    return out.select(
-        "query_id", "node_id", "rank", (F.round("dist", 6) + F.lit(0.0)).alias("dist")
-    )
+    out = knn_ops.brute_force_knn(queries, nodes, k=K + RANK_MARGIN)
+    return _rerank_rounded(out, K)
 
 
 def q_knn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,11 +321,15 @@ def q_knn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     out = knn_ops.tile_knn(
-        queries, nodes.select("node_id", "embedding"), tiles, resolution=2, k=K, ring=1, max_ring=1
+        queries,
+        nodes.select("node_id", "embedding"),
+        tiles,
+        resolution=2,
+        k=K + RANK_MARGIN,
+        ring=1,
+        max_ring=1,
     )
-    return out.select(
-        "query_id", "node_id", "rank", (F.round("dist", 6) + F.lit(0.0)).alias("dist")
-    )
+    return _rerank_rounded(out, K)
 
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,6 +379,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, min_cosine=0.35)
+
+
+def q_self_similarity_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-bucketed (metric-pruned) near-dup pairs — the scale path:
+    only pairs co-located in a soft cell are scored, per-cell BLAS
+    matmul. Semantics (soft-cell co-location at res 3, eps 0.15) are
+    exactly mirrored in the oracle SQL."""
+    from raptor_rag_spark.operators.similarity import self_similarity_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return self_similarity_pairs(emb, min_cosine=0.35, resolution=3, item_id="vec_id", dim=DIM)
 
 
 # ----------------------------- rows-only (no SQL oracle) ------------
@@ -439,11 +479,11 @@ def q_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    ranked = knn_ops.brute_force_knn(queries, nodes, k=20)
-    out = threshold_select(ranked, 0.55)
-    return out.select(
-        "query_id", "node_id", "rank", (F.round("dist", 6) + F.lit(0.0)).alias("dist")
-    )
+    ranked = knn_ops.brute_force_knn(queries, nodes, k=20 + RANK_MARGIN)
+    out = _rerank_rounded(ranked, 20)
+    # threshold on the ROUNDED dist (both sides) — the raw double can
+    # straddle the threshold by one ulp across engines
+    return threshold_select(out, 0.55)
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti": q_semi_anti,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "self_similarity_tiled": q_self_similarity_tiled,
     "knn_threshold": q_knn_threshold,
     "text_normalize": q_text_normalize,
     "embed_norm": q_embed_norm,
@@ -689,7 +730,7 @@ def _lang_id_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS words
   FROM documents
 ), h AS (
   SELECT doc_id, {", ".join(hit_cols)} FROM w
@@ -762,14 +803,14 @@ FROM (
 """,
         "dedup_exact": """
 SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
-FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm FROM documents)
 GROUP BY norm
 """,
         "quality": f"""
 WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
-         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_words,
+         len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) AS n_words,
          {duckdb_token_count_expr('text')} AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
@@ -838,14 +879,14 @@ FROM xy GROUP BY 1, 2
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id AS node_id,
-         1.0 - list_dot_product(q.qe, e.embedding::DOUBLE[]) AS dist
+         ROUND(1.0 - list_dot_product(q.qe, e.embedding::DOUBLE[]), 6) + 0.0 AS dist
   FROM q CROSS JOIN embeddings e
 ), ranked AS (
   SELECT query_id, node_id, dist,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, node_id, CAST(rank AS INT) AS rank, ROUND(dist, 6) + 0.0 AS dist
+SELECT query_id, node_id, CAST(rank AS INT) AS rank, dist
 FROM ranked WHERE rank <= {K}
 """,
         "knn_tiled": f"""
@@ -856,7 +897,8 @@ nodes AS (SELECT p.vec_id AS node_id, e.embedding::DOUBLE[] AS emb, p.ix, p.iy
 q AS (SELECT p.vec_id AS query_id, e.embedding::DOUBLE[] AS qe, p.ix, p.iy
       FROM pts p JOIN embeddings e ON e.vec_id = p.vec_id WHERE p.vec_id < {N_QUERIES}),
 cand AS (
-  SELECT q.query_id, n.node_id, 1.0 - list_dot_product(q.qe, n.emb) AS dist
+  SELECT q.query_id, n.node_id,
+         ROUND(1.0 - list_dot_product(q.qe, n.emb), 6) + 0.0 AS dist
   FROM q JOIN nodes n
     ON abs(q.ix - n.ix) <= 1 AND abs(q.iy - n.iy) <= 1
 ), ranked AS (
@@ -864,7 +906,7 @@ cand AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
   FROM cand
 )
-SELECT query_id, node_id, CAST(rank AS INT) AS rank, ROUND(dist, 6) + 0.0 AS dist
+SELECT query_id, node_id, CAST(rank AS INT) AS rank, dist
 FROM ranked WHERE rank <= {K}
 """,
         "pip": f"""
@@ -892,14 +934,14 @@ GROUP BY c_nationkey
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id AS node_id,
-         1.0 - list_dot_product(q.qe, e.embedding::DOUBLE[]) AS dist
+         ROUND(1.0 - list_dot_product(q.qe, e.embedding::DOUBLE[]), 6) + 0.0 AS dist
   FROM q CROSS JOIN embeddings e
 ), ranked AS (
   SELECT query_id, node_id, dist,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, node_id, CAST(rank AS INT) AS rank, ROUND(dist, 6) + 0.0 AS dist
+SELECT query_id, node_id, CAST(rank AS INT) AS rank, dist
 FROM ranked WHERE rank <= 20 AND dist > 0.55
 """,
         "text_normalize": """
@@ -966,16 +1008,20 @@ WITH signup AS (
 )
 SELECT signup_id, user_id, click_id FROM j WHERE rn = 1
 """,
-        "ngram_jaccard": """
+        "ngram_jaccard": f"""
 WITH w AS (
   SELECT doc_id AS id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS words
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT id, unnest(list_distinct(
            list_transform(range(1, greatest(len(words) - 2, 1) + 1),
                           i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) AS sh
   FROM w
+), sh AS (
+  -- mirror of the engine's max_df stopword-shingle cap
+  SELECT id, sh FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= {DEDUP_MAX_DF})
 ), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -986,6 +1032,38 @@ SELECT id_a, id_b, n_common,
        ROUND(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.3
+""",
+        "self_similarity_tiled": f"""
+WITH {XY_CTE},
+g AS (
+  SELECT vec_id, x, y, {_grid_sql('x', 3)} AS ix, {_grid_sql('y', 3)} AS iy FROM xy
+),
+f AS (
+  SELECT vec_id, ix, iy,
+         (x + 1.0) / 2.0 * 16.0 - ix AS fx,
+         (y + 1.0) / 2.0 * 16.0 - iy AS fy
+  FROM g
+),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+cells AS (
+  SELECT vec_id, (ix + dx) * 16 + (iy + dy) AS cell
+  FROM f, offs
+  WHERE (dx = 0 OR (dx = -1 AND fx < 0.15 AND ix > 0) OR (dx = 1 AND fx > (1.0 - 0.15) AND ix < 15))
+    AND (dy = 0 OR (dy = -1 AND fy < 0.15 AND iy > 0) OR (dy = 1 AND fy > (1.0 - 0.15) AND iy < 15))
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 6) AS cosine
+FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+WHERE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) >= 0.35
 """,
         "embedding_neardup": """
 WITH e AS (

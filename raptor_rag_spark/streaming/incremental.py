@@ -27,9 +27,13 @@ def incremental_level0(
     if "page_id" in pages.columns:
         txt = txt.join(pages.select("url", "page_id"), "url")
         docs = txt.withColumn("doc_id", F.col("page_id"))
+        id_scheme = "arith"
     else:
+        # full-range 64-bit url hash: the arith chunk_id scheme would
+        # overflow (ANSI crash) — use the hashed scheme
         docs = txt.withColumn("doc_id", F.xxhash64("url"))
-    chunks = chunk_documents(docs, max_tokens=cfg.max_tokens)
+        id_scheme = "hash"
+    chunks = chunk_documents(docs, max_tokens=cfg.max_tokens, id_scheme=id_scheme)
     nodes = (
         embed_texts(chunks, dim=dim)
         .withColumnRenamed("chunk_id", "node_id")

@@ -65,6 +65,64 @@ def test_minhash_estimates_jaccard(docs):
     assert abs(pairs[(0, 100)] - true_j) < 0.25
 
 
+def test_ngram_short_docs_ansi_safe(spark):
+    """Docs with fewer than n words must not crash under ANSI mode
+    (element_at past the array end) — they fall back to the whole text
+    as one shingle."""
+    df = spark.createDataFrame(
+        [(0, "one"), (1, "two words"), (2, "one"), (3, ""), (4, "the quick brown fox runs")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, n=3, threshold=0.9).collect()}
+    assert (0, 2) in pairs  # identical single-word docs match exactly
+
+
+def test_ngram_max_df_caps_hot_shingle(spark):
+    """A stopword-run shingle shared by every doc must not explode the
+    candidate self-join when the df cap is active."""
+    hot = "click here now"  # appears in all docs
+    rows = [(i, f"{hot} unique tail {i} alpha beta{i} gamma{i} delta{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=None).count()
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=10).count()
+    assert uncapped == 40 * 39 // 2  # the hot shingle makes it quadratic
+    assert capped == 0  # cap removes the only shared shingle
+
+
+def test_minhash_exact_verify(docs):
+    out = minhash_dedup_pairs(docs, n_hashes=64, bands=16, threshold=0.5, verify=True)
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (1, 101) in rows and rows[(1, 101)]["jaccard"] == 1.0
+    # verified jaccard is the TRUE set jaccard, not the estimate
+    true_j = len(set(_shingle_set(BASE_DOCS[0][1], 3)) & set(_shingle_set(DUPS[0][1], 3))) / len(
+        set(_shingle_set(BASE_DOCS[0][1], 3)) | set(_shingle_set(DUPS[0][1], 3))
+    )
+    if (0, 100) in rows:
+        assert abs(rows[(0, 100)]["jaccard"] - round(true_j, 6)) < 1e-9
+
+
+def test_chunk_id_schemes(spark):
+    from raptor_rag_spark.operators.chunk import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta. gamma delta. epsilon zeta."), (1 << 50, "one two. three four.")],
+        "doc_id long, text string",
+    )
+    # hashed scheme: works for ANY doc_id, ids are distinct
+    hashed = chunk_documents(docs, max_tokens=4, id_scheme="hash").collect()
+    ids = [r["chunk_id"] for r in hashed]
+    assert len(ids) == len(set(ids)) and len(ids) >= 3
+    # arith scheme: validated bound — raises on out-of-range doc ids
+    # instead of silently wrapping (ANSI: would crash anyway)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="2\\^43|USER_RAISED|arith"):
+        chunk_documents(docs, max_tokens=4, id_scheme="arith").collect()
+    small = docs.filter(F.col("doc_id") == 1)
+    ok = chunk_documents(small, max_tokens=4, id_scheme="arith").collect()
+    assert [r["chunk_id"] for r in ok] == [(1 << 20) + r["chunk_idx"] for r in ok]
+
+
 def test_simhash_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=10).collect()}
     assert (1, 101) in pairs and pairs[(1, 101)] == 0

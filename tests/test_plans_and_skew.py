@@ -85,6 +85,64 @@ def test_salted_join_equals_plain(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_left_join_equals_plain(spark):
+    """Big-side-preserving salted join: unmatched rows survive with
+    nulls, exactly like a plain left join (skewed fixture: one hot key
+    + keys missing from the dim side)."""
+    rows = [(i, "hot" if i % 3 else f"cold{i % 7}") for i in range(3000)]
+    ev = spark.createDataFrame(rows, "id long, k string")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold1", 2), ("cold2", 3)], "k string, tag int"
+    )
+    plain = sorted(map(tuple, ev.join(dim, "k", "left").select("id", "tag").collect()))
+    salted = sorted(
+        map(tuple, salted_join(ev, dim, "k", salt=4, how="left").select("id", "tag").collect())
+    )
+    assert plain == salted
+    anti_p = sorted(r["id"] for r in ev.join(dim, "k", "left_anti").collect())
+    anti_s = sorted(r["id"] for r in salted_join(ev, dim, "k", salt=4, how="left_anti").collect())
+    assert anti_p == anti_s
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(ev, dim, "k", how="full")
+
+
+def test_embedding_neardup_is_distributed(spark):
+    """The blocked all-pairs kernel must not collect the table to the
+    driver: constructing the plan runs ZERO jobs, and the physical plan
+    is a grouped-map pandas exec over a shuffle — not a local
+    relation built from toPandas()."""
+    import numpy as np
+
+    from raptor_rag_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    out = embedding_neardup_pairs(df, min_cosine=0.9, n_blocks=4)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "plan construction must be lazy (no driver collect)"
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "LocalTableScan" not in plan, plan
+    # and block count must not change the result set
+    a = sorted(map(tuple, out.select("id_a", "id_b").collect()))
+    b = sorted(
+        map(
+            tuple,
+            embedding_neardup_pairs(df, min_cosine=0.9, n_blocks=7)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
 def test_detect_hot_keys_finds_planted_skew(spark):
     rows = [(i, "hot" if i % 10 < 8 else f"cold{i % 50}") for i in range(5000)]
     df = spark.createDataFrame(rows, "id long, k string")
