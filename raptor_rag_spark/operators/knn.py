@@ -35,7 +35,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raptor_rag_spark.config import DEFAULT_CONFIG
-from raptor_rag_spark.operators.tile import grid_index, neighbor_cells
+from raptor_rag_spark.operators.tile import (
+    MAX_BROADCAST_RESOLUTION,
+    cell_key_col,
+    grid_index,
+    neighbor_cells,
+)
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -363,18 +368,117 @@ def probe_cells(
     )
 
 
+def probe_cells_join(
+    queries_xy: DataFrame,
+    populated_cells: DataFrame,
+    resolutions: list[int],
+    ring: int = 1,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Join-based twin of :func:`probe_cells` — NO driver-resident key
+    set, so it scales past the broadcast bound (at 10^12 nodes /
+    occupancy 256 the populated-cell count is ~10^9: collecting it
+    would break the driver; scanning it twice with a broadcast probe
+    side does not).
+
+    Two passes against the (distinct) populated-cells table:
+    1. qres: each query's containing-cell ladder (one row per
+       resolution, generated JVM-side) is broadcast against the cell
+       table; the finest resolution that hits is the query's local
+       density level (missing => coarsest).
+    2. probes: the same ring geometry as probe_cells, generated by an
+       Arrow kernel from (x, y, qres) with NO membership checks, then
+       intersected with the cell table via a second broadcast join.
+
+    Identical output to probe_cells (pytest-asserted).
+    """
+    import numpy as np
+    import pandas as pd
+
+    res_list = sorted(resolutions)
+    cells = populated_cells.select("cell_key")
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                cell_key_col(F.col("x"), F.col("y"), r).alias("cell_key"),
+            )
+            for r in res_list
+        ]
+    )
+    qladder = queries_xy.select(query_id, F.explode(ladder).alias("_c")).select(
+        query_id, F.col("_c.r").alias("r"), F.col("_c.cell_key").alias("cell_key")
+    )
+    # populated ∩ ladder, probe side broadcast: one scan of the cell table
+    hits = cells.join(F.broadcast(qladder), "cell_key").select(query_id, "r")
+    qres = hits.groupBy(query_id).agg(F.max("r").alias("qres"))
+    q = queries_xy.select(query_id, "x", "y").join(qres, query_id, "left").fillna(
+        {"qres": res_list[0]}
+    )
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qid = pdf[query_id].to_numpy(dtype=np.int64)
+            x = pdf["x"].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            qr = pdf["qres"].to_numpy(dtype=np.int64)
+            n_q = len(qid)
+            out_q, out_k = [], []
+            for r in res_list:
+                n = 1 << (r + 1)
+                ix = np.clip(((x + 1.0) / 2.0 * n).astype(np.int64), 0, n - 1)
+                iy = np.clip(((y + 1.0) / 2.0 * n).astype(np.int64), 0, n - 1)
+                ring_r = np.where(
+                    qr > r, 1,
+                    np.where(qr == r, ring,
+                             np.minimum(ring << np.clip(r - qr, 0, 62), _FINE_RING_CAP)),
+                )
+                R = int(ring_r.max()) if n_q else 0
+                for dx in range(-R, R + 1):
+                    for dy in range(-R, R + 1):
+                        d = max(abs(dx), abs(dy))
+                        nx, ny = ix + dx, iy + dy
+                        mask = (d <= ring_r) & (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                        if not mask.any():
+                            continue
+                        m = np.zeros(int(mask.sum()), dtype=np.int64)
+                        sx, sy = nx[mask], ny[mask]
+                        for i in range(r + 1):
+                            m += ((sx >> i) & 1) << (2 * i)
+                            m += ((sy >> i) & 1) << (2 * i + 1)
+                        out_q.append(qid[mask])
+                        out_k.append((r << 32) + m)
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id: np.concatenate(out_q), "cell_key": np.concatenate(out_k)}
+                )
+            else:
+                yield pd.DataFrame({query_id: [], "cell_key": []})
+
+    probes = q.mapInPandas(kernel, f"{query_id} long, cell_key long")
+    # second scan: keep only probes that hit populated cells
+    return cells.join(F.broadcast(probes), "cell_key").select(query_id, "cell_key")
+
+
 def adaptive_candidates(
     queries_xy: DataFrame,
     atiles: DataFrame,
-    populated_keys: set[int],
+    populated: set[int] | DataFrame,
     resolutions: list[int],
     ring: int = 1,
     query_id: str = "query_id",
 ) -> DataFrame:
     """Candidate generation: vectorized probe-cell kernel + one long
     equi-join on the Morton cell_key. Each node lives in exactly one
-    cell, so no dedup shuffle is needed."""
-    qcells = probe_cells(queries_xy, populated_keys, resolutions, ring, query_id)
+    cell, so no dedup shuffle is needed. ``populated`` is either a
+    broadcastable key set (fast path, bounded cell counts) or the
+    distinct-cells DataFrame (join path, unbounded)."""
+    if isinstance(populated, DataFrame):
+        qcells = probe_cells_join(queries_xy, populated, resolutions, ring, query_id)
+    else:
+        qcells = probe_cells(queries_xy, populated, resolutions, ring, query_id)
     return (
         F.broadcast(qcells)
         .join(atiles.select("node_id", "cell_key"), ["cell_key"])
@@ -391,15 +495,32 @@ def tile_knn_adaptive(
     max_ring: int = 8,
     query_id: str = "query_id",
     q_emb: str = "q_embedding",
+    membership: str = "auto",
+    resolutions: list[int] | None = None,
 ) -> DataFrame:
     """kNN join against adaptive quadtree tiles (the scale path for
-    skewed corpora). Same ring-expansion contract as tile_knn."""
-    resolutions = sorted(
-        r["resolution"] for r in atiles.select("resolution").distinct().collect()
-    )
-    populated = {
-        int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()
-    }
+    skewed corpora). Same ring-expansion contract as tile_knn.
+
+    ``membership`` picks how probe cells are checked against populated
+    cells: 'broadcast' collects the distinct cell keys into a driver
+    set (fast, bounded — fine while max resolution <= 12, ~10^7 cells);
+    'join' keeps them as a DataFrame and intersects via two broadcast
+    joins (unbounded, two extra scans of the distinct-cells table);
+    'auto' switches on the finest resolution present."""
+    if resolutions is None:
+        resolutions = sorted(
+            r["resolution"] for r in atiles.select("resolution").distinct().collect()
+        )
+    if membership == "auto":
+        membership = "broadcast" if max(resolutions) <= MAX_BROADCAST_RESOLUTION else "join"
+    if membership == "join":
+        populated: set[int] | DataFrame = (
+            atiles.select("cell_key").distinct().localCheckpoint(eager=True)
+        )
+    else:
+        populated = {
+            int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()
+        }
     schedule = sorted({min(ring, max_ring), min(ring * 4, max_ring), max_ring})
     remaining = queries.localCheckpoint(eager=True) if len(schedule) > 1 else queries
     results: DataFrame | None = None

@@ -100,15 +100,14 @@ def retrieve_traversal(
         layer_nodes = nodes.filter(F.col("layer") == layer).select(
             "node_id", "embedding", "children", "text", "n_tokens"
         )
-        scored = (
-            cand.join(layer_nodes, "node_id")
-            .join(F.broadcast(queries.select("query_id", "q_embedding")), "query_id")
-        )
-        from raptor_rag_spark.operators.knn import cosine_distance
+        # exact cosine via the broadcast-query-matrix einsum kernel —
+        # same discipline as the kNN hot path (a Catalyst zip_with/
+        # aggregate cosine is interpreted, ~0.27 ms/row measured)
+        from raptor_rag_spark.operators.knn import _score_candidates
 
-        scored = scored.withColumn(
-            "dist", cosine_distance(F.col("q_embedding"), F.col("embedding"))
-        )
+        scored = _score_candidates(
+            cand.join(layer_nodes.select("node_id", "embedding"), "node_id"), queries
+        ).join(layer_nodes.select("node_id", "text", "n_tokens", "children"), "node_id")
         if selection_mode == "top_k":
             w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("node_id").asc())
             sel = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

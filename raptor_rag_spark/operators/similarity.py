@@ -47,11 +47,20 @@ class TileAnnIndex:
         base_resolution: int = 3,
         max_occupancy: int = 256,
         max_resolution: int = 9,
+        membership: str = "auto",
     ) -> None:
+        from raptor_rag_spark.operators.tile import MAX_BROADCAST_RESOLUTION
+
         if dim is None:
             dim = len(nodes.select("embedding").first()[0])
+        if membership == "auto":
+            membership = (
+                "broadcast" if max_resolution <= MAX_BROADCAST_RESOLUTION else "join"
+            )
         self.dim = dim
         self.id_col = id_col
+        self.membership = membership
+        self.resolutions = list(range(base_resolution, max_resolution + 1))
         self.nodes = nodes.select(F.col(id_col).alias("node_id"), "embedding").localCheckpoint(
             eager=True
         )
@@ -59,24 +68,36 @@ class TileAnnIndex:
         for seed in seeds:
             xy = reduce_2d(self.nodes, dim=dim, seed=seed).localCheckpoint(eager=True)
             atiles = adaptive_tile_assignments(
-                xy, "node_id", base_resolution, max_occupancy, max_resolution
+                xy, "node_id", base_resolution, max_occupancy, max_resolution,
+                strategy=membership,
             ).localCheckpoint(eager=True)
-            keys = {int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()}
-            resolutions = sorted(
-                r["resolution"] for r in atiles.select("resolution").distinct().collect()
-            )
-            self.views.append((seed, xy, atiles, keys, resolutions))
+            if membership == "join":
+                # populated cells stay a DataFrame — nothing
+                # driver-resident, probes intersect it via join
+                populated: set[int] | DataFrame = (
+                    atiles.select("cell_key").distinct().localCheckpoint(eager=True)
+                )
+            else:
+                populated = {
+                    int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()
+                }
+            self.views.append((seed, xy, atiles, populated))
 
     def search(self, queries: DataFrame, k: int = 10, ring: int = 2) -> DataFrame:
         """queries(query_id, q_embedding) -> (query_id, node_id, dist,
         rank<=k). Exact cosine over the unioned candidate set."""
+        from raptor_rag_spark.operators.knn import probe_cells_join
+
         q = queries.localCheckpoint(eager=True)
         cands = None
-        for seed, _xy, atiles, keys, resolutions in self.views:
+        for seed, _xy, atiles, populated in self.views:
             q_xy = reduce_2d(
                 q.withColumnRenamed("q_embedding", "embedding"), dim=self.dim, seed=seed
             ).select(F.col("query_id"), "x", "y")
-            pc = probe_cells(q_xy, keys, resolutions, ring)
+            if isinstance(populated, DataFrame):
+                pc = probe_cells_join(q_xy, populated, self.resolutions, ring)
+            else:
+                pc = probe_cells(q_xy, populated, self.resolutions, ring)
             c = (
                 F.broadcast(pc)
                 .join(atiles.select("node_id", "cell_key"), "cell_key")

@@ -110,6 +110,72 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def md5_prefix60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — the one 64-bit-ish
+    hash computable bit-identically in Spark (conv) AND DuckDB
+    (CAST('0x'||substr(md5,1,15) AS BIGINT)), which is what lets
+    fingerprint/simhash participate in the oracle gate. xxhash64 exists
+    only in Spark; FNV only as a Python kernel."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint_col(col: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint, pure JVM: min md5-prefix
+    hash over all ``window``-word shingles of the normalized text
+    (docs shorter than the window hash the whole text; empty -> 0).
+    Same contract as make_fingerprint_udf with the portable hash."""
+    words = words_col(col)
+    k = F.greatest(F.size(words) - F.lit(window - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.get(words, (i + j).cast("int")) for j in range(window)]
+        ),
+    )
+    return F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(
+        F.array_min(F.transform(shingles, md5_prefix60))
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) — pure JVM simhash: tokens explode -> per-bit
+    +/-1 sums in ONE hash aggregate (map-side combine; the shuffle
+    carries ``bits`` partial sums per doc, not tokens) -> sign bits
+    packed to a long. 48 bits = the md5 prefix budget minus headroom;
+    block pigeonhole search works the same as the 64-bit UDF variant.
+    Exactly mirrorable in DuckDB SQL (see driver_queries), unlike the
+    FNV Python kernel in make_simhash_udf."""
+    from raptor_rag_spark.tokenizer import TOKEN_PATTERN
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("_tok"),
+    ).withColumn("_h", md5_prefix60(F.col("_tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    acc = toks.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    acc = acc.select(F.col(id_col), sig.alias("simhash"))
+    # docs with zero tokens have no exploded rows: join back, simhash 0
+    return df.select(id_col).join(acc, id_col, "left").fillna({"simhash": 0})
+
+
 def make_fingerprint_udf(window: int = 8):
     """Rolling-hash document fingerprint: min FNV hash over all
     ``window``-word windows of the normalized text (winnowing-style,

@@ -245,6 +245,58 @@ def cell_occupancy_map(
     return {int(r["cell_key"]): int(r["_n"]) for r in counts.collect()}
 
 
+# above this resolution the populated-cell count (~N / occupancy) can
+# outgrow a driver-resident map/set — auto-switch to join-based paths
+MAX_BROADCAST_RESOLUTION = 12
+
+
+def adaptive_tile_assignments_join(
+    df: DataFrame,
+    id_col: str,
+    base_resolution: int = 3,
+    max_occupancy: int = 256,
+    max_resolution: int = DEFAULT_CONFIG.max_resolution,
+) -> DataFrame:
+    """Join-based twin of :func:`adaptive_tile_assignments` — NO driver
+    collect of the occupancy map, so it scales past the broadcast bound
+    (populated cells ~ N / occupancy; at 10^12 points that map cannot
+    live on the driver). Pure DataFrame plan:
+
+    explode the per-point resolution ladder (L <= 12 rows/point,
+    map-side) -> count per cell_key (the key embeds the resolution)
+    -> join counts back -> keep levels under the cap (or max_res)
+    -> min_by(resolution) per point. Two shuffles of long keys plus
+    one per-point agg — more shuffle than the broadcast path, which
+    stays the default under MAX_BROADCAST_RESOLUTION.
+
+    Identical output to the broadcast path (pytest-asserted).
+    """
+    resolutions = list(range(base_resolution, max_resolution + 1))
+    pts = df.select(id_col, "x", "y")
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("resolution"),
+                cell_key_col(F.col("x"), F.col("y"), r).alias("cell_key"),
+            )
+            for r in resolutions
+        ]
+    )
+    ex = pts.select(F.col(id_col), F.explode(ladder).alias("_c")).select(
+        id_col, F.col("_c.resolution").alias("resolution"), F.col("_c.cell_key").alias("cell_key")
+    )
+    counts = ex.groupBy("cell_key").agg(F.count("*").alias("_occ"))
+    eligible = (
+        ex.join(counts, "cell_key")
+        .filter((F.col("_occ") <= max_occupancy) | (F.col("resolution") == max_resolution))
+    )
+    picked = eligible.groupBy(id_col).agg(
+        F.min("resolution").alias("resolution"),
+        F.min_by("cell_key", "resolution").alias("cell_key"),
+    )
+    return picked.select(id_col, "resolution", "cell_key")
+
+
 def adaptive_tile_assignments(
     df: DataFrame,
     id_col: str,
@@ -252,6 +304,7 @@ def adaptive_tile_assignments(
     max_occupancy: int = 256,
     max_resolution: int = DEFAULT_CONFIG.max_resolution,
     occupancy_map: dict[int, int] | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Adaptive quadtree: every point lands in exactly ONE cell, at the
     coarsest resolution where its cell's occupancy <= max_occupancy
@@ -275,6 +328,12 @@ def adaptive_tile_assignments(
     one per-point min-res window — vs 2 shuffles per level for the
     loop (measured 75s -> ~10s at 147k points x 7 levels).
     """
+    if strategy == "auto":
+        strategy = "broadcast" if max_resolution <= MAX_BROADCAST_RESOLUTION else "join"
+    if strategy == "join" and occupancy_map is None:
+        return adaptive_tile_assignments_join(
+            df, id_col, base_resolution, max_occupancy, max_resolution
+        )
     pts = df.select(id_col, "x", "y")
     cmap = occupancy_map or cell_occupancy_map(pts, base_resolution, max_resolution)
     spark = df.sparkSession

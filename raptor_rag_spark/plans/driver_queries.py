@@ -408,13 +408,23 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM simhash (md5-prefix hash, one hash-aggregate over exploded
+    tokens) — bit-identical oracle in DuckDB. The FNV Python kernel
+    (make_simhash_udf) remains the no-shuffle per-row variant, covered
+    by pytest planted-pair tests."""
+    from raptor_rag_spark.operators.textstats import simhash_signatures
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", make_simhash_udf()(F.col("text")).alias("simhash"))
+    return simhash_signatures(docs)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint, pure JVM md5-prefix variant (oracle-able;
+    the FNV kernel make_fingerprint_udf stays as the pluggable seam)."""
+    from raptor_rag_spark.operators.textstats import fingerprint_col
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", make_fingerprint_udf()(F.col("text")).alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
 def q_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,6 +653,23 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 partition pruning: the pages table is materialized
+    partitioned by (year, month) of warc_ts; a one-month query must hit
+    only that partition's directories (plan-asserted in
+    test_plans_and_skew) and never read the html binary column. The
+    oracle recomputes the same month from doc_id arithmetic."""
+    from raptor_rag_spark.sources.tables import write_pages_partitioned
+
+    out = write_pages_partitioned(spark, sf_dir)
+    pages = spark.read.parquet(out)
+    return (
+        pages.filter((F.col("year") == 2024) & (F.col("month") == 3))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_pages"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a hot key (lang is Zipf-
     skewed). Result identical to a plain GROUP BY — the oracle proves
@@ -688,6 +715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "asof_join": q_asof_join,
     "salted_rollup": q_salted_rollup,
+    "pages_month": q_pages_month,
     "raster_vectorize": q_raster_vectorize,
     "cube": q_cube,
     # rows-only
@@ -736,6 +764,49 @@ WITH w AS (
   SELECT doc_id, {", ".join(hit_cols)} FROM w
 )
 SELECT doc_id, CASE WHEN {total} = 0 THEN 'und' ELSE {case_sql} END AS lang_pred FROM h
+"""
+
+
+def _fingerprint_sql(window: int = 8) -> str:
+    parts = ", ".join(f"words[i+{j}]" for j in range(window))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(words) = 0 THEN 0 ELSE
+         list_min(list_transform(range(1, greatest(len(words) - {window - 1}, 1) + 1),
+           i -> CAST(concat('0x', substr(md5(concat_ws(' ', {parts})), 1, 15)) AS BIGINT)))
+       END AS BIGINT) AS fingerprint
+FROM w
+"""
+
+
+def _simhash_sql(bits: int = 48) -> str:
+    from raptor_rag_spark.tokenizer import TOKEN_PATTERN
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
+), acc AS (
+  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+), packed AS (
+  SELECT doc_id, {packed} AS s FROM acc
+)
+SELECT d.doc_id, CAST(COALESCE(p.s, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
 """
 
 
@@ -840,6 +911,8 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM m
 """,
         "lang_id": _lang_id_sql(),
+        "fingerprint": _fingerprint_sql(),
+        "simhash_sig": _simhash_sql(),
         "tile_assign": f"WITH {XY_CTE}\n{tile_union}",
         "tile_soft": f"""
 WITH {XY_CTE},
@@ -976,6 +1049,13 @@ FROM r
 SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "pages_month": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE year(TIMESTAMP '2024-01-01 00:00:00' + ((doc_id % 400) * INTERVAL 1 DAY)) = 2024
+  AND month(TIMESTAMP '2024-01-01 00:00:00' + ((doc_id % 400) * INTERVAL 1 DAY)) = 3
+GROUP BY lang
 """,
         "salted_rollup": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars

@@ -34,6 +34,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic Common-Crawl-style pages table derived from the
+    documents table (north_rule input shape: url, warc_ts, html, text,
+    lang) — warc_ts spreads doc_ids over 400 days from 2024-01-01, so
+    year/month partitioning has real fan-out and the DuckDB oracle can
+    recompute the same timestamps from doc_id."""
+    from pyspark.sql import functions as F
+
+    ts = F.to_timestamp(
+        F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("doc_id") % 400).cast("int"))
+    )
+    return docs.select(
+        F.concat(F.lit("https://example.test/doc/"), F.col("doc_id")).alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.year(ts).alias("year"),
+        F.month(ts).alias("month"),
+    )
+
+
+def write_pages_partitioned(spark: SparkSession, sf_dir: str, base_dir: str | None = None) -> str:
+    """Materialize the pages table partitioned by (year, month) — the
+    SURVEY §2.8 layout: at 10^12 rows a month filter must prune at the
+    DIRECTORY level, never scan-and-filter. Idempotent per sf_dir
+    (marker file); returns the parquet root."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = base_dir or os.path.join(tempfile.gettempdir(), f"rrs_pages_{tag}")
+    marker = os.path.join(out, "_rrs_done")
+    if not os.path.exists(marker):
+        pages = pages_from_documents(load_table(spark, sf_dir, "documents"))
+        pages.write.mode("overwrite").partitionBy("year", "month").parquet(out)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    return out
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is on the classpath (not in this
     image; kept as the documented scale path)."""

@@ -133,3 +133,32 @@ def test_multi_projection_index_recall(spark, points):
         / bf.count()
     )
     assert recall >= 0.85, recall
+
+
+def test_join_membership_paths_match_broadcast(spark, points, atiles):
+    """The join-based (no-driver-collect) formulations must be
+    row-identical to the broadcast fast paths: adaptive assignment,
+    probe-cell generation, and the full adaptive kNN."""
+    from raptor_rag_spark.operators.knn import probe_cells, probe_cells_join
+    from raptor_rag_spark.operators.tile import adaptive_tile_assignments_join
+
+    aj = adaptive_tile_assignments_join(
+        points, "node_id", base_resolution=2, max_occupancy=64, max_resolution=8
+    )
+    assert sorted(map(tuple, aj.collect())) == sorted(map(tuple, atiles.collect()))
+
+    cells = atiles.select("cell_key").distinct().localCheckpoint(eager=True)
+    keys = {int(r["cell_key"]) for r in cells.collect()}
+    resolutions = list(range(2, 9))
+    q = points.limit(12).select(F.col("node_id").alias("query_id"), "x", "y")
+    pb = probe_cells(q, keys, resolutions, ring=2)
+    pj = probe_cells_join(q, cells, resolutions, ring=2)
+    assert sorted(map(tuple, pb.collect())) == sorted(map(tuple, pj.collect()))
+
+    qq = points.limit(12).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding"), "x", "y"
+    )
+    kb = tile_knn_adaptive(qq, points, atiles, k=5, ring=2, max_ring=4, membership="broadcast")
+    kj = tile_knn_adaptive(qq, points, atiles, k=5, ring=2, max_ring=4, membership="join")
+    key = lambda df: sorted((r["query_id"], r["node_id"], r["rank"]) for r in df.collect())  # noqa: E731
+    assert key(kb) == key(kj)

