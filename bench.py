@@ -103,10 +103,10 @@ def knn_flagship(spark, nodes, tiles, n_queries: int = 200, k: int = 10):
     return out.count()
 
 
-# sized so the ~5 s serial fraction (final agg + scheduling) is <5% of
-# the small-size runtime — below that the efficiency measures the
-# driver, not the plan
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000"))
+# sized so the residual serial fraction (~2 s after full-pipeline
+# warmup: final agg + stage scheduling) is <4% of the small-size
+# runtime — below that the efficiency measures the driver, not the plan
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000"))
 
 
 def scaling_worker(cores: int) -> None:
@@ -129,39 +129,50 @@ def scaling_worker(cores: int) -> None:
     spark = _spark(cores, f"bench-scaling-{cores}")
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     spark.range(1).count()  # warm the session
-    # warm the Python workers + Arrow path once (outside the timing)
-    synthetic_pages(spark, n=256, seed=1, partitions=8).count()
+
+    def job(n_docs: int, seed: int, partitions: int) -> int:
+        pages = synthetic_pages(spark, n=n_docs, seed=seed, partitions=partitions)
+        docs = extract_pages(pages, passthrough=("page_id",)).select(
+            F.col("page_id").alias("doc_id"), "text"
+        )
+        chunks = chunk_documents(docs, max_tokens=60)
+        nodes = (
+            embed_texts(chunks, dim=DIM)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "n_tokens", "embedding")
+        )
+        nodes_xy = reduce_2d(nodes, dim=DIM)
+        rollup = tile(nodes_xy, 4).groupBy("cell_id").agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("tok")
+        )
+        return int(rollup.agg(F.sum("n")).first()[0])
+
+    # warm the FULL pipeline once (python workers, every UDF's Arrow
+    # path, the shuffle machinery, codegen caches) — outside the
+    # timing, so the measured run is steady-state compute, not one-time
+    # JVM/Python constants that would read as 'serial fraction'
+    job(256, seed=1, partitions=8)
     t0 = time.time()
-    pages = synthetic_pages(spark, n=SCALE_DOCS, seed=42, partitions=128)
-    docs = extract_pages(pages, passthrough=("page_id",)).select(
-        F.col("page_id").alias("doc_id"), "text"
-    )
-    chunks = chunk_documents(docs, max_tokens=60)
-    nodes = (
-        embed_texts(chunks, dim=DIM)
-        .withColumnRenamed("chunk_id", "node_id")
-        .select("node_id", "n_tokens", "embedding")
-    )
-    nodes = reduce_2d(nodes, dim=DIM)
-    rollup = tile(nodes, 4).groupBy("cell_id").agg(
-        F.count("*").alias("n"), F.sum("n_tokens").alias("tok")
-    )
-    n_chunks = int(rollup.agg(F.sum("n")).first()[0])
+    n_chunks = job(SCALE_DOCS, seed=42, partitions=128)
     elapsed = time.time() - t0
     print(json.dumps({"cores": cores, "elapsed": elapsed, "docs": SCALE_DOCS, "chunks": n_chunks}))
     spark.stop()
 
 
-SCALE_CORES = (2, 8)  # N and 4N cores (the VM saturates memory bandwidth
-# above ~8 concurrent string/Arrow workers, so 8-vs-32 measures the
-# machine, not the plan; 2-vs-8 isolates plan scalability)
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+_cores_env = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
+SCALE_CORES = tuple(int(c) for c in _cores_env.split(","))  # N and 4N
+# cores (the VM saturates memory bandwidth above ~8 concurrent
+# string/Arrow workers, so 8-vs-32 measures the machine, not the plan;
+# 2-vs-8 isolates plan scalability)
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 
 
 def run_scaling() -> dict:
-    """Interleaved repeats per size; min elapsed per size (noise floor —
-    the sandbox shows 2x run-to-run interference variance). Raw runs
-    are reported alongside."""
+    """Back-to-back interleaved repeats per size; min elapsed per size
+    (noise-floor estimator: this sandbox shows up to 2x run-to-run
+    interference from co-tenants, which only ever ADDS time, so the
+    min over >=5 repeats converges to the true runtime from above).
+    Raw runs are reported alongside so the spread is visible."""
     runs: dict[int, list[float]] = {c: [] for c in SCALE_CORES}
     docs = None
     for _ in range(SCALE_REPEATS):
@@ -181,7 +192,7 @@ def run_scaling() -> dict:
     t_small, t_large = min(runs[small]), min(runs[large])
     speedup = t_small / t_large
     factor = large / small
-    return {
+    out = {
         "cores_small": small,
         "cores_large": large,
         "elapsed_small_sec": round(t_small, 2),
@@ -193,6 +204,29 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / factor, 3),
     }
+    # corroborating pair at a different absolute level: 1 -> 4 cores,
+    # half the docs (low-variance regime on this VM)
+    if os.environ.get("SPARK_GRAFT_SCALE_SECONDARY", "1") != "0":
+        sec_docs = SCALE_DOCS // 2
+        sec: dict[int, list[float]] = {1: [], 4: []}
+        for _ in range(2):
+            for cores in (1, 4):
+                env = dict(os.environ, SPARK_GRAFT_SCALE_DOCS=str(sec_docs))
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+                    capture_output=True, text=True, timeout=1800, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+                sec[cores].append(json.loads(line)["elapsed"])
+        sp = min(sec[1]) / min(sec[4])
+        out["secondary_1v4"] = {
+            "docs": sec_docs,
+            "all_runs_sec": {str(c): [round(v, 2) for v in sec[c]] for c in (1, 4)},
+            "speedup": round(sp, 3),
+            "scaling_efficiency": round(sp / 4.0, 3),
+        }
+    return out
 
 
 def main() -> None:
@@ -300,6 +334,10 @@ def main() -> None:
         "running_budget",
         "join_agg",
         "embedding_neardup",
+        "self_similarity_tiled",
+        "simhash_sig",
+        "fingerprint",
+        "pages_month",
     ):
         timed(name, lambda n=name: queries[n](spark, SF_DIR).count())
 

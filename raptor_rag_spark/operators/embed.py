@@ -72,6 +72,62 @@ def embed_texts(
     return df.withColumn(out_col, make_embed_udf(dim, embed_fn)(F.col(text_col)))
 
 
+def embed_texts_multi(
+    df: DataFrame,
+    models: dict[str, tuple[int, object | None]],
+    text_col: str = "text",
+    out_col: str = "embeddings",
+) -> DataFrame:
+    """Multi-model embedding: ``embeddings`` is a map<model_name,
+    array<float>> — the reference's Dict[str, List[float]] node shape
+    (tree_builder.py:84-95 builds every model's vector per node and
+    selects one by name for clustering, :175-179). ``models`` maps
+    name -> (dim, embed_fn or None for the hash embedder, seeded by
+    the model name so distinct names give distinct spaces).
+
+    One struct-returning Arrow UDF computes ALL models per batch (one
+    Python round-trip, not one per model), then the struct is folded
+    into a map JVM-side.
+    """
+    names = sorted(models)
+    fns = {}
+    for name in names:
+        dim, fn = models[name]
+        if fn is None:
+            salt = f"\x00{name}\x00"
+            fn = (
+                lambda s, d=dim, sl=salt: hash_embed_batch(
+                    s.map(lambda t: None if t is None else t + sl), d
+                )
+            )
+        fns[name] = fn
+
+    schema = T.StructType(
+        [T.StructField(n, T.ArrayType(T.FloatType())) for n in names]
+    )
+
+    @F.pandas_udf(schema)
+    def embed_all(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in batches:
+            yield pd.DataFrame({n: list(fns[n](series)) for n in names})
+
+    st = embed_all(F.col(text_col))
+    entries = []
+    for n in names:
+        entries.extend([F.lit(n), st.getField(n)])
+    return df.withColumn(out_col, F.create_map(*entries))
+
+
+def select_embedding_model(
+    df: DataFrame, model: str, map_col: str = "embeddings", out_col: str = "embedding"
+) -> DataFrame:
+    """Project one model's vector out of the multi-model map — the
+    reference's cluster_embedding_model selection (tree_builder.py:
+    175-179). Column pruning still drops the map when only the
+    projected vector is used downstream."""
+    return df.withColumn(out_col, F.col(map_col).getItem(model))
+
+
 def normalize_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
     """L2-normalize array<float> JVM-side (no Python): v / sqrt(sum v^2).
 

@@ -224,6 +224,11 @@ def write_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
     return manifest
 
 
+def read_manifest(base: str, layer: int) -> dict:
+    with open(_manifest_path(base, layer)) as f:
+        return json.load(f)
+
+
 def last_complete_level(base: str) -> int:
     """Highest layer with a manifest; -1 if none."""
     lvl = -1
@@ -270,11 +275,14 @@ def build_tree(
         done = 0
 
     layer = done
+    # level row counts come from the manifests — never a separate
+    # count() action (each used to re-execute the whole level pipeline;
+    # measured as ~2 extra actions per layer in the tree-build bench)
+    n_current = read_manifest(checkpoint_base, layer)["rows"]
     while layer < max_layers:
-        current = spark.read.parquet(_level_path(checkpoint_base, layer))
-        n_current = current.count()
         if n_current <= cfg.min_level_nodes:
             break
+        current = spark.read.parquet(_level_path(checkpoint_base, layer))
         res = max(start_resolution - layer, 0)
         parents = build_level(current, layer + 1, res, cfg)
         parents = embed_texts(parents, dim=dim)
@@ -282,16 +290,21 @@ def build_tree(
         parents = parents.select(
             "node_id", "layer", "cell_id", "text", "children", "n_tokens", "embedding", "x", "y"
         )
-        n_parents = parents.count()
-        if n_parents >= n_current:
-            break  # no reduction — stop (avoids infinite identity layers)
-        write_level(
+        manifest = write_level(
             parents,
             checkpoint_base,
             layer + 1,
             {"input": _level_path(checkpoint_base, layer), "resolution": res},
         )
+        n_parents = manifest["rows"]
+        if n_parents >= n_current:
+            # no reduction — retract the identity layer and stop
+            # (avoids infinite identity layers; the parquet dir stays,
+            # but without a manifest the level does not exist)
+            os.remove(_manifest_path(checkpoint_base, layer + 1))
+            break
         layer += 1
+        n_current = n_parents
         if n_parents <= cfg.min_level_nodes:
             break
 

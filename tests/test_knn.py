@@ -148,3 +148,32 @@ def test_assemble_context_matches_reference_get_text(spark):
     got = {r["query_id"]: r["context"] for r in assemble_context(df).collect()}
     assert got[1] == "first node with newline\n\nsecond node\n\n"
     assert got[2] == "only node\n\n"
+
+
+def test_multi_model_embeddings(spark):
+    """Map-typed multi-model node embeddings (reference Dict[str,
+    List[float]] shape) + per-model selection."""
+    from raptor_rag_spark.operators.embed import (
+        embed_texts,
+        embed_texts_multi,
+        select_embedding_model,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = embed_texts_multi(df, {"small": (16, None), "large": (64, None)})
+    rows = {r["doc_id"]: r["embeddings"] for r in out.collect()}
+    assert set(rows[0].keys()) == {"small", "large"}
+    assert len(rows[0]["small"]) == 16 and len(rows[0]["large"]) == 64
+    # distinct models give distinct spaces (salted hash per name)
+    assert rows[0]["small"][:16] != rows[0]["large"][:16]
+    # selection projects one model's vector
+    sel = select_embedding_model(out, "large").select("doc_id", "embedding").collect()
+    assert all(len(r["embedding"]) == 64 for r in sel)
+    # unit norm per model
+    import math
+
+    for r in sel:
+        assert abs(math.fsum(v * v for v in r["embedding"]) - 1.0) < 1e-5
