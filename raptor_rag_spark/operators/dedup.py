@@ -128,8 +128,16 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     if max_df is not None:
-        rare = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
-        sh = sh.join(rare.select("sh"), "sh", "left_semi")
+        # document frequency as a whole-partition window count: ONE
+        # shuffle on sh (vs a groupBy-count pass + a semi-join back,
+        # which evaluates the shingle explode twice)
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn("_df", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")

@@ -670,6 +670,43 @@ def q_pages_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-catalog time travel (Iceberg-shaped seam): documents
+    split into create (even doc_id) + append (odd doc_id) snapshots;
+    each snapshot id must read exactly its chain's rows. Oracle
+    recomputes the two counts from doc_id parity."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from raptor_rag_spark.sources.catalog import get_catalog
+
+    tag = hashlib.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = _os.path.join(tempfile.gettempdir(), f"rrs_cat_{tag}")
+    cat = get_catalog(spark, root)
+    t = cat.table("documents")
+    if not t.exists():
+        docs = _t(spark, sf_dir, "documents")
+        t.create(docs.filter(F.col("doc_id") % 2 == 0))
+        t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    snaps = t.snapshots()
+    rows = [
+        (s["id"], t.read(snapshot_id=s["id"]).count()) for s in snaps
+    ]
+    return spark.createDataFrame(rows, "snapshot_id int, n_rows long")
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct per group (§2.12 checklist) — rows-only:
+    HLL sketches are engine-specific, so exactness is a pytest relative-
+    error bound vs the exact count, not a hash compare."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a hot key (lang is Zipf-
     skewed). Result identical to a plain GROUP BY — the oracle proves
@@ -716,6 +753,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "salted_rollup": q_salted_rollup,
     "pages_month": q_pages_month,
+    "catalog_snapshots": q_catalog_snapshots,
+    # rows-only: HLL sketch values are engine-specific
+    "approx_distinct": q_approx_distinct,
     "raster_vectorize": q_raster_vectorize,
     "cube": q_cube,
     # rows-only
@@ -1049,6 +1089,13 @@ FROM r
 SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "catalog_snapshots": """
+SELECT CAST(1 AS INT) AS snapshot_id,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+FROM documents
+UNION ALL
+SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT) FROM documents
 """,
         "pages_month": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

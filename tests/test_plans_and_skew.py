@@ -195,3 +195,22 @@ def test_brute_knn_big_side_never_shuffled(spark):
     plan = _plan(out)
     # no join at all: scoring is mapInPandas against broadcast queries
     assert "Join" not in plan, plan
+
+
+def test_approx_distinct_relative_error(spark):
+    """HLL approx distinct within the configured rsd of exact."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    approx = {
+        r["event_type"]: r["a"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("e"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.06 * e), (k, approx[k], e)

@@ -37,3 +37,63 @@ def test_stream_pages_available_now(spark, tmp_path_factory):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 > n1
+
+
+def test_stateful_sessionize_across_microbatches(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: a session spanning two
+    micro-batches keeps ONE session index (per-batch windows cannot do
+    this), and the full streamed assignment equals the batch gap-window
+    computation over the same events."""
+    import datetime as dt
+
+    from raptor_rag_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    chk = str(tmp_path_factory.mktemp("sess_chk"))
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(specs):
+        return [
+            (uid, eid, t0 + dt.timedelta(seconds=off)) for uid, eid, off in specs
+        ]
+
+    schema = "user_id long, event_id long, ts timestamp"
+    # batch 1: user 1 two events 10 min apart (one session, still open);
+    # user 2 one event
+    spark.createDataFrame(
+        rows([(1, 1, 0), (1, 2, 600), (2, 10, 0)]), schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2 (separate file): user 1 event 10 min after batch 1 (SAME
+    # session across the batch boundary) then one 2 h later (new
+    # session); user 2 event 3 h later (new session)
+    spark.createDataFrame(
+        rows([(1, 3, 1200), (1, 4, 1200 + 7200), (2, 11, 10800)]), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_sec=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert len(got) == 6
+    # user 1: events 1,2,3 one session (3 crosses the micro-batch
+    # boundary), event 4 a new one
+    assert got[(1, 1)] == got[(1, 2)] == got[(1, 3)]
+    assert got[(1, 4)] == got[(1, 1)] + 1
+    # user 2: second event past the gap -> new session
+    assert got[(2, 11)] == got[(2, 10)] + 1
