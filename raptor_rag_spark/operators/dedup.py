@@ -26,7 +26,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from raptor_rag_spark.functions.hashing import fnv1a_64_str
 from raptor_rag_spark.tokenizer import _TOKEN_RE
 
 # ---------------------------------------------------------------- exact
@@ -183,22 +182,38 @@ def normalized_words(text: str) -> list[str]:
 
 
 def make_minhash_udf(n_hashes: int = 64, shingle_n: int = 3):
+    """Minhash signature kernel, vectorized across the WHOLE Arrow
+    batch: every document's shingles are hashed in one fnv1a_64_batch
+    call (byte-position-vectorized FNV), the universal-family matrix is
+    one (n_shingles x n_hashes) numpy expression, and per-document mins
+    come from np.minimum.reduceat over the flat matrix — no per-row
+    Python beyond shingling itself."""
+    from raptor_rag_spark.functions.hashing import fnv1a_64_batch
+
     a, b = _minhash_params(n_hashes)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
-            out = []
-            for text in series:
-                if text is None:
-                    out.append(None)
-                    continue
-                shingles = _shingle_set(text, shingle_n)
-                base = np.array(
-                    [fnv1a_64_str(s) for s in shingles], dtype=np.uint64
-                ) % _P31
-                sig = ((base[:, None] * a[None, :] + b[None, :]) % _P31).min(axis=0)
-                out.append([int(v) for v in sig])
+            texts = series.tolist()
+            sh_lists = [
+                None if t is None else _shingle_set(t, shingle_n) for t in texts
+            ]
+            flat = [s for lst in sh_lists if lst is not None for s in lst]
+            out: list = [None] * len(texts)
+            if flat:
+                base = fnv1a_64_batch(flat) % np.uint64(_P31)
+                M = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_P31)
+                counts = [len(lst) for lst in sh_lists if lst is not None]
+                offs = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offs[1:])
+                mins = np.minimum.reduceat(M, offs, axis=0)
+                k = 0
+                for i, lst in enumerate(sh_lists):
+                    if lst is None:
+                        continue
+                    out[i] = [int(v) for v in mins[k]]
+                    k += 1
             yield pd.Series(out)
 
     return minhash
@@ -289,27 +304,45 @@ def minhash_dedup_pairs(
 
 
 def make_simhash_udf():
+    """Per-row (shuffle-free) simhash kernel, vectorized across the
+    Arrow batch: all tokens hashed in one fnv1a_64_batch call, the
+    (n_tokens x 64) ±1 bit matrix reduced per document with
+    np.add.reduceat, signs packed with one dot product. (The JVM
+    aggregate variant textstats.simhash_signatures is the oracle-able
+    twin; this one never shuffles tokens.)"""
+    from raptor_rag_spark.functions.hashing import fnv1a_64_batch
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+
     @F.pandas_udf(T.LongType())
     def simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
-            out = []
-            for text in series:
-                if text is None:
-                    out.append(None)
+            texts = series.tolist()
+            tok_lists = [
+                None if t is None else _TOKEN_RE.findall(t.lower()) for t in texts
+            ]
+            out: list = [None] * len(texts)
+            flat = [tok for lst in tok_lists if lst for tok in lst]
+            accs = None
+            if flat:
+                h = fnv1a_64_batch(flat)
+                bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                pm = bits * 2 - 1  # ±1 per bit
+                counts = [len(lst) for lst in tok_lists if lst]
+                offs = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offs[1:])
+                accs = np.add.reduceat(pm, offs, axis=0)
+            k = 0
+            for i, lst in enumerate(tok_lists):
+                if lst is None:
                     continue
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in _TOKEN_RE.findall(text.lower()):
-                    h = fnv1a_64_str(tok)
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                    acc += np.where(bits == 1, 1, -1)
-                val = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        val |= 1 << i
-                # store as signed 64-bit
-                if val >= 1 << 63:
-                    val -= 1 << 64
-                out.append(val)
+                if not lst:  # no tokens: acc all zeros -> value 0
+                    out[i] = 0
+                    continue
+                val = int((accs[k] > 0).astype(np.uint64) @ weights)
+                k += 1
+                out[i] = val - (1 << 64) if val >= 1 << 63 else val
             yield pd.Series(out, dtype="Int64")
 
     return simhash

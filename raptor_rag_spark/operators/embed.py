@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from raptor_rag_spark.functions.hashing import fnv1a_64_str
+
 from raptor_rag_spark.tokenizer import _TOKEN_RE
 
 
@@ -32,16 +32,33 @@ def hash_embed_batch(texts: pd.Series, dim: int = 64) -> np.ndarray:
     """Deterministic feature-hash embedding: each token hashes to a
     (bucket, sign); vector = normalized bag-of-hashed-tokens. Returns
     float32 (n, dim), rows unit-norm (zero vector for empty text gets
-    a fixed unit basis vector so downstream cosine is total)."""
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, text in enumerate(texts):
-        if text is None:
-            continue
-        for token in _TOKEN_RE.findall(text.lower()):
-            h = fnv1a_64_str(token)
-            bucket = h % dim
-            sign = 1.0 if (h >> 32) & 1 else -1.0
-            out[i, bucket] += sign
+    a fixed unit basis vector so downstream cosine is total).
+
+    Vectorized across the batch: one fnv1a_64_batch over ALL tokens,
+    then one bincount scatter-add into the (n, dim) matrix — the ±1
+    bucket sums are exact integers in float64, so the result is
+    bit-identical to the per-token loop regardless of addition order."""
+    from raptor_rag_spark.functions.hashing import fnv1a_64_batch
+
+    n = len(texts)
+    tok_lists = [
+        None if t is None else _TOKEN_RE.findall(t.lower()) for t in texts
+    ]
+    flat = [tok for lst in tok_lists if lst for tok in lst]
+    out = np.zeros((n, dim), dtype=np.float64)
+    if flat:
+        rows = np.repeat(
+            np.fromiter(
+                (i for i, lst in enumerate(tok_lists) if lst), dtype=np.int64
+            ),
+            np.fromiter((len(lst) for lst in tok_lists if lst), dtype=np.int64),
+        )
+        h = fnv1a_64_batch(flat)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1) == 1, 1.0, -1.0)
+        out = np.bincount(rows * dim + bucket, weights=sign, minlength=n * dim).reshape(
+            n, dim
+        )
     norms = np.linalg.norm(out, axis=1)
     zero = norms == 0
     out[zero, 0] = 1.0

@@ -11,12 +11,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from raptor_rag_spark.functions.hashing import fnv1a_64
 from raptor_rag_spark.tokenizer import spark_token_count
 
 # tiny per-language stopword lists (deterministic heuristic lang-id —
@@ -181,25 +181,45 @@ def make_fingerprint_udf(window: int = 8):
     ``window``-word windows of the normalized text (winnowing-style,
     public technique). Arrow-batched; ~like minhash with one hash."""
 
+    from raptor_rag_spark.functions.hashing import fnv1a_64_batch
+
     @F.pandas_udf(T.LongType())
     def fingerprint(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
-            out = []
-            for text in series:
+            texts = series.tolist()
+            gram_lists: list = []
+            for text in texts:
                 if text is None:
-                    out.append(None)
+                    gram_lists.append(None)
                     continue
                 ws = [w for w in text.lower().split() if w]
                 if not ws:
-                    out.append(0)
+                    gram_lists.append([])
                     continue
-                grams = (
+                gram_lists.append(
                     [" ".join(ws)]
                     if len(ws) < window
                     else [" ".join(ws[i : i + window]) for i in range(len(ws) - window + 1)]
                 )
-                h = min(fnv1a_64(g.encode("utf-8")) for g in grams)
-                out.append(h - (1 << 64) if h >= 1 << 63 else h)
+            flat = [g for lst in gram_lists if lst for g in lst]
+            out: list = [None] * len(texts)
+            mins = None
+            if flat:
+                h = fnv1a_64_batch(flat)
+                counts = [len(lst) for lst in gram_lists if lst]
+                offs = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offs[1:])
+                mins = np.minimum.reduceat(h, offs)
+            k = 0
+            for i, lst in enumerate(gram_lists):
+                if lst is None:
+                    continue
+                if not lst:
+                    out[i] = 0
+                    continue
+                v = int(mins[k])
+                k += 1
+                out[i] = v - (1 << 64) if v >= 1 << 63 else v
             yield pd.Series(out, dtype="Int64")
 
     return fingerprint
