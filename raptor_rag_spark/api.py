@@ -133,3 +133,45 @@ class RaptorEngine:
         if qa_fn is not None:
             return qa_fn(ctx, question)
         return " ".join(ctx.split("\n\n")[0].split(". ")[:2])
+
+    # ------------------------------------------- pipeline utilities
+
+    def dedup_documents(self, docs: DataFrame, method: str = "exact", **kw) -> DataFrame:
+        """Training-data dedup over a documents DataFrame — one entry
+        point for every engine dedup strategy. ``method``:
+
+        - 'exact'     -> surviving rows (hash-keyed normalized text)
+        - 'ngram'     -> near-dup PAIRS by word-n-gram Jaccard
+        - 'minhash'   -> LSH candidate pairs, exact-Jaccard verified
+        - 'simhash'   -> hamming-ball pairs (block pigeonhole)
+        - 'embedding' -> exact cosine pairs (blocked all-pairs)
+        """
+        from raptor_rag_spark.operators import dedup as D
+
+        fns = {
+            "exact": D.exact_dedup,
+            "ngram": D.ngram_jaccard_pairs,
+            "minhash": D.minhash_dedup_pairs,
+            "simhash": D.simhash_pairs,
+            "embedding": D.embedding_neardup_pairs,
+        }
+        if method not in fns:
+            raise ValueError(f"unknown dedup method {method!r} (have {sorted(fns)})")
+        return fns[method](docs, **kw)
+
+    def ann_index(self, nodes: DataFrame | None = None, **kw):
+        """Multi-projection adaptive-quadtree ANN index over the built
+        tree's nodes (or any (node_id, embedding) DataFrame)."""
+        from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+        src = nodes if nodes is not None else self.nodes
+        if src is None:
+            raise ValueError("no tree built and no nodes given")
+        return TileAnnIndex(src.select("node_id", "embedding"), dim=self.dim, **kw)
+
+    def catalog(self, root: str):
+        """Snapshot-table catalog (Iceberg-shaped seam) rooted at
+        ``root`` — see raptor_rag_spark.sources.catalog."""
+        from raptor_rag_spark.sources.catalog import get_catalog
+
+        return get_catalog(self.spark, root)

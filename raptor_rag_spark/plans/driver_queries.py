@@ -670,6 +670,20 @@ def q_pages_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject
+    (per-partition top-N + tiny driver merge), never a global sort —
+    plan-asserted in test_plans_and_skew."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+        )
+        .orderBy(F.col("price").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+        .limit(20)
+    )
+
+
 def q_catalog_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-catalog time travel (Iceberg-shaped seam): documents
     split into create (even doc_id) + append (odd doc_id) snapshots;
@@ -754,6 +768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_rollup": q_salted_rollup,
     "pages_month": q_pages_month,
     "catalog_snapshots": q_catalog_snapshots,
+    "global_topn": q_global_topn,
     # rows-only: HLL sketch values are engine-specific
     "approx_distinct": q_approx_distinct,
     "raster_vectorize": q_raster_vectorize,
@@ -1089,6 +1104,12 @@ FROM r
 SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "global_topn": """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY price DESC, l_orderkey, l_linenumber
+LIMIT 20
 """,
         "catalog_snapshots": """
 SELECT CAST(1 AS INT) AS snapshot_id,

@@ -69,3 +69,24 @@ def test_answer_question_deterministic(built):
     a1 = eng.answer_question("berber", top_k=2)
     a2 = eng.answer_question("berber", top_k=2)
     assert a1 == a2 and isinstance(a1, str) and a1
+
+
+def test_engine_pipeline_utilities(spark, tmp_path):
+    from raptor_rag_spark.api import RaptorEngine
+
+    eng = RaptorEngine(spark, str(tmp_path / "t"), embed_dim=32)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "totally different text here")],
+        "doc_id long, text string",
+    )
+    kept = eng.dedup_documents(docs, method="exact")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+    pairs = eng.dedup_documents(docs, method="ngram", threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown dedup"):
+        eng.dedup_documents(docs, method="nope")
+    cat = eng.catalog(str(tmp_path / "cat"))
+    t = cat.create_table("d", docs)
+    assert t.read().count() == 3

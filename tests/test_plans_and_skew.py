@@ -214,3 +214,28 @@ def test_approx_distinct_relative_error(spark):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(1, 0.06 * e), (k, approx[k], e)
+
+
+def test_global_topn_uses_take_ordered(spark):
+    """Global ORDER BY + LIMIT must plan TakeOrderedAndProject
+    (per-partition top-N, tiny driver merge) — not a global sort."""
+    from raptor_rag_spark.plans.driver_queries import q_global_topn
+
+    q = q_global_topn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """The exact-dedup group key must be the hash struct, never the
+    document text: the exchange partitions on _k and the aggregate's
+    output carries no text column."""
+    from raptor_rag_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = exact_dedup_groups(docs)
+    q.collect()
+    plan = _plan(q)
+    assert "hashpartitioning(_k" in plan, plan
