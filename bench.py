@@ -338,6 +338,9 @@ def main() -> None:
         "simhash_sig",
         "fingerprint",
         "pages_month",
+        "range_join",
+        "pip_tiled",
+        "global_topn",
     ):
         timed(name, lambda n=name: queries[n](spark, SF_DIR).count())
 

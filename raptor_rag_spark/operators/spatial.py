@@ -188,3 +188,177 @@ def raster_roundtrip_check(points: DataFrame, delta: float) -> DataFrame:
     return r1.alias("a").join(r2.alias("b"), ["gx", "gy"], "full").select(
         "gx", "gy", F.col("a.n").alias("n_before"), F.col("b.n").alias("n_after")
     )
+
+
+# -------------------------------------------------------- range join
+
+
+def range_join(
+    left_xy: DataFrame,
+    right_xy: DataFrame,
+    radius: float,
+    left_id: str = "query_id",
+    right_id: str = "node_id",
+    max_resolution: int = 12,
+) -> DataFrame:
+    """All (left, right) pairs within euclidean ``radius`` in the
+    reduced plane — the classic spatial range/distance join, as a
+    cell-bucketed equi-join instead of an O(|L|*|R|) theta join.
+
+    Resolution is the FINEST grid whose cell width >= radius, so a
+    disk of that radius around any point is covered by the point's
+    3x3 cell neighborhood: the left side explodes its ring-1 cells
+    (<=9 keys/row, pure JVM), the right side keys on its home cell,
+    one long equi-join, exact distance filter after. At 100 TB both
+    sides shuffle once on a long key; AQE's skew split applies to hot
+    cells, and a broadcast kicks in when one side is small.
+    """
+    import math
+
+    from raptor_rag_spark.operators.tile import grid_index, morton_key, neighbor_keys
+
+    if not (0 < radius <= 2.0):
+        raise ValueError("radius must be in (0, 2] (reduced plane is [-1,1]^2)")
+    # cell width at res r is 2 / 2^(r+1); want the finest r with width >= radius
+    r = min(max(int(math.floor(math.log2(2.0 / radius))) - 1, 0), max_resolution)
+
+    lt = (
+        left_xy.select(left_id, "x", "y")
+        .withColumn("ix", grid_index(F.col("x"), r))
+        .withColumn("iy", grid_index(F.col("y"), r))
+        .select(
+            left_id,
+            F.col("x").alias("_lx"),
+            F.col("y").alias("_ly"),
+            F.explode(neighbor_keys(r, 1)).alias("cell_key"),
+        )
+    )
+    rt = right_xy.select(
+        right_id,
+        F.col("x").alias("_rx"),
+        F.col("y").alias("_ry"),
+        morton_key(grid_index(F.col("x"), r), grid_index(F.col("y"), r), r).alias(
+            "cell_key"
+        ),
+    )
+    d2 = (F.col("_lx") - F.col("_rx")) ** 2 + (F.col("_ly") - F.col("_ry")) ** 2
+    # no dedup shuffle needed: the right side has ONE home cell and the
+    # left ring's 9 keys are distinct, so a pair joins at most once
+    return (
+        lt.join(rt, "cell_key")
+        .filter(d2 <= F.lit(float(radius) ** 2))
+        .select(left_id, right_id, F.sqrt(d2).alias("dist_xy"))
+    )
+
+
+# ----------------------------------------- covering-accelerated PIP
+
+
+def polygon_cell_cover(
+    polygon: list[tuple[float, float]], resolution: int
+) -> tuple[set[int], set[int]]:
+    """Classify every grid cell at ``resolution`` against a fixed
+    polygon: returns (full_keys, boundary_keys) as morton cell keys.
+    A cell crossed by any edge is 'boundary'; an uncrossed cell is
+    'full' iff its center is inside. Driver-side numpy — the polygon is
+    a literal and the grid at res r is 4^(r+1) cells, tiny vs the data;
+    the classification broadcasts to the point scan.
+    """
+    import numpy as np
+
+    n = 1 << (resolution + 1)
+    width = 2.0 / n
+    poly = np.asarray(polygon, dtype=np.float64)
+    edges = list(zip(poly, np.roll(poly, -1, axis=0)))
+
+    def seg_rect_crosses(a, b, x0, y0, x1, y1) -> bool:
+        # trivial accept: an endpoint inside the rect
+        if (x0 <= a[0] <= x1 and y0 <= a[1] <= y1) or (
+            x0 <= b[0] <= x1 and y0 <= b[1] <= y1
+        ):
+            return True
+        # segment vs each rect edge: orientation straddle test
+        rect = [
+            ((x0, y0), (x1, y0)),
+            ((x1, y0), (x1, y1)),
+            ((x1, y1), (x0, y1)),
+            ((x0, y1), (x0, y0)),
+        ]
+
+        def orient(p, q, r):
+            return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+        for c, d in rect:
+            if (
+                orient(a, b, c) * orient(a, b, d) < 0
+                and orient(c, d, a) * orient(c, d, b) < 0
+            ):
+                return True
+        return False
+
+    def point_inside(px, py) -> bool:
+        inside = False
+        m = len(poly)
+        for i in range(m):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % m]
+            if ay == by:
+                continue
+            if ((ay > py) != (by > py)) and px < (bx - ax) * (py - ay) / (by - ay) + ax:
+                inside = not inside
+        return inside
+
+    full: set[int] = set()
+    boundary: set[int] = set()
+    for ix in range(n):
+        x0 = -1.0 + ix * width
+        for iy in range(n):
+            y0 = -1.0 + iy * width
+            x1, y1 = x0 + width, y0 + width
+            crossed = any(seg_rect_crosses(a, b, x0, y0, x1, y1) for a, b in edges)
+            key = 0
+            for i in range(resolution + 1):
+                key += ((ix >> i) & 1) << (2 * i)
+                key += ((iy >> i) & 1) << (2 * i + 1)
+            key += resolution << 32
+            if crossed:
+                boundary.add(key)
+            elif point_inside(x0 + width / 2, y0 + width / 2):
+                full.add(key)
+    return full, boundary
+
+
+def point_in_polygon_tiled(
+    df_xy: DataFrame,
+    polygon: list[tuple[float, float]],
+    resolution: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PIP with a cell-covering prefilter: points in fully-inside cells
+    are inside WITHOUT evaluating the n-edge ray cast; points in
+    uncovered cells are outside without it; only boundary-cell points
+    run the exact test. For an m-edge polygon the per-point work drops
+    from O(m) to O(1) off the boundary band — the standard covering
+    acceleration (H3/S2 polyfill analog). Output is identical to the
+    plain expression (same oracle SQL)."""
+    from raptor_rag_spark.operators.tile import cell_key_col
+
+    full, boundary = polygon_cell_cover(polygon, resolution)
+    spark = df_xy.sparkSession
+    cover = spark.createDataFrame(
+        [(k, True) for k in sorted(full)] + [(k, False) for k in sorted(boundary)],
+        "cell_key long, is_full boolean",
+    )
+    pts = df_xy.withColumn("cell_key", cell_key_col(F.col("x"), F.col("y"), resolution))
+    # broadcast hash probe per point (O(1)); the exact m-edge ray cast
+    # runs ONLY on boundary-band rows, uncovered cells short to false
+    joined = pts.join(F.broadcast(cover), "cell_key", "left")
+    inside = (
+        F.when(F.col("is_full"), F.lit(True))
+        .when(
+            F.col("is_full") == F.lit(False),
+            point_in_polygon_expr(F.col("x"), F.col("y"), polygon),
+        )
+        .otherwise(F.lit(False))
+    )
+    return joined.select(F.col(id_col), inside.alias("inside"))

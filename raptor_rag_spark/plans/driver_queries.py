@@ -340,6 +340,17 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covering-accelerated PIP (full/boundary cell classification via
+    broadcast join; exact ray cast only on the boundary band) — output
+    identical to q_pip, so it shares the same oracle shape."""
+    from raptor_rag_spark.operators.spatial import point_in_polygon_tiled
+
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    return point_in_polygon_tiled(xy, PIP_POLYGON, resolution=4, id_col="vec_id")
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets/rollup (§2.12 built-in coverage)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -670,6 +681,25 @@ def q_pages_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range join in the reduced plane: all embedding pairs
+    within radius 0.12 of the first N_QUERIES query points — cell-
+    bucketed equi-join + exact distance filter; the oracle is the
+    naive theta join."""
+    from raptor_rag_spark.operators.spatial import range_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
+    left = xy.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "x", "y"
+    )
+    right = xy.select(F.col("vec_id").alias("node_id"), "x", "y")
+    out = range_join(left, right, radius=0.12)
+    return out.select(
+        "query_id", "node_id", (F.round("dist_xy", 6) + F.lit(0.0)).alias("dist_xy")
+    )
+
+
 def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject
     (per-partition top-N + tiny driver merge), never a global sort —
@@ -753,6 +783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute": q_knn_brute,
     "knn_tiled": q_knn_tiled,
     "pip": q_pip,
+    "pip_tiled": q_pip_tiled,
     "rollup": q_rollup,
     "join_agg": q_join_agg,
     "semi_anti": q_semi_anti,
@@ -769,6 +800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pages_month": q_pages_month,
     "catalog_snapshots": q_catalog_snapshots,
     "global_topn": q_global_topn,
+    "range_join": q_range_join,
     # rows-only: HLL sketch values are engine-specific
     "approx_distinct": q_approx_distinct,
     "raster_vectorize": q_raster_vectorize,
@@ -1041,6 +1073,10 @@ FROM ranked WHERE rank <= {K}
 WITH {XY_CTE}
 SELECT vec_id, {_pip_sql('x', 'y')} AS inside FROM xy
 """,
+        "pip_tiled": f"""
+WITH {XY_CTE}
+SELECT vec_id, {_pip_sql('x', 'y')} AS inside FROM xy
+""",
         "rollup": """
 SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
        CAST(COUNT(*) AS BIGINT) AS n
@@ -1104,6 +1140,14 @@ FROM r
 SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "range_join": f"""
+WITH {XY_CTE}
+SELECT q.vec_id AS query_id, n.vec_id AS node_id,
+       ROUND(sqrt((q.x - n.x) * (q.x - n.x) + (q.y - n.y) * (q.y - n.y)), 6) + 0.0 AS dist_xy
+FROM xy q JOIN xy n
+  ON (q.x - n.x) * (q.x - n.x) + (q.y - n.y) * (q.y - n.y) <= 0.12 * 0.12
+WHERE q.vec_id < {N_QUERIES}
 """,
         "global_topn": """
 SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price

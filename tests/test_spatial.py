@@ -102,3 +102,69 @@ def test_vectorize_boundary_struct(spark, tiled_points):
     row = v.first()
     assert len(row["boundary"]) == 4
     assert row["n"] >= 1
+
+
+def test_range_join_matches_naive(spark):
+    """Cell-bucketed range join == naive all-pairs distance filter."""
+    import numpy as np
+
+    from raptor_rag_spark.operators.spatial import range_join
+
+    rng = np.random.RandomState(17)
+    pts = rng.uniform(-1, 1, size=(400, 2))
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "pid long, x double, y double",
+    ).cache()
+    left = df.limit(25).selectExpr("pid as query_id", "x", "y")
+    right = df.selectExpr("pid as node_id", "x", "y")
+    got = {
+        (r["query_id"], r["node_id"])
+        for r in range_join(left, right, radius=0.2).collect()
+    }
+    lp = left.collect()
+    naive = {
+        (l["query_id"], int(j))
+        for l in lp
+        for j in range(len(pts))
+        if (l["x"] - pts[j][0]) ** 2 + (l["y"] - pts[j][1]) ** 2 <= 0.2**2
+    }
+    assert got == naive
+    # includes self-pairs at distance 0 and is plan-shaped as one equi-join
+    plan = range_join(left, right, radius=0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "cell_key" in plan
+
+
+def test_pip_tiled_equals_plain(spark):
+    """Covering-accelerated PIP == the plain unrolled ray cast, and the
+    cover actually classifies cells (full + boundary non-empty)."""
+    import numpy as np
+
+    from raptor_rag_spark.operators.spatial import (
+        point_in_polygon_expr,
+        point_in_polygon_tiled,
+        polygon_cell_cover,
+    )
+    from raptor_rag_spark.plans.driver_queries import PIP_POLYGON
+
+    full, boundary = polygon_cell_cover(PIP_POLYGON, 4)
+    assert full and boundary
+    rng = np.random.RandomState(23)
+    pts = rng.uniform(-1, 1, size=(2000, 2))
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "vec_id long, x double, y double",
+    )
+    tiled = {
+        r["vec_id"]: r["inside"]
+        for r in point_in_polygon_tiled(df, PIP_POLYGON, resolution=4).collect()
+    }
+    plain = {
+        r["vec_id"]: r["inside"]
+        for r in df.select(
+            "vec_id",
+            point_in_polygon_expr(F.col("x"), F.col("y"), PIP_POLYGON).alias("inside"),
+        ).collect()
+    }
+    assert tiled == plain
+    assert sum(tiled.values()) > 0
