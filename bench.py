@@ -164,18 +164,27 @@ SCALE_CORES = tuple(int(c) for c in _cores_env.split(","))  # N and 4N
 # cores (the VM saturates memory bandwidth above ~8 concurrent
 # string/Arrow workers, so 8-vs-32 measures the machine, not the plan;
 # 2-vs-8 isolates plan scalability)
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
+SCALE_MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "8"))
+SCALE_MIN_REPEATS = 3
 
 
 def run_scaling() -> dict:
-    """Back-to-back interleaved repeats per size; min elapsed per size
-    (noise-floor estimator: this sandbox shows up to 2x run-to-run
-    interference from co-tenants, which only ever ADDS time, so the
-    min over >=5 repeats converges to the true runtime from above).
-    Raw runs are reported alongside so the spread is visible."""
+    """Back-to-back interleaved repeat pairs; min elapsed per size.
+
+    Noise-floor estimator: co-tenant interference on this sandbox only
+    ever ADDS time (observed up to ~2.5x on the wider-parallelism run,
+    which needs more simultaneously-free cores), so the min over
+    repeats converges to the true runtime FROM ABOVE. A fixed repeat
+    count can still land entirely inside one noisy window, so sampling
+    is adaptive: keep running interleaved pairs until neither size's
+    min has improved by >2% for two consecutive pairs (>=3, <=8 pairs).
+    Every raw run is reported so the spread — and any pollution — is
+    visible in the artifact."""
     runs: dict[int, list[float]] = {c: [] for c in SCALE_CORES}
     docs = None
-    for _ in range(SCALE_REPEATS):
+    stale = 0
+    for rep in range(SCALE_MAX_REPEATS):
+        improved = False
         for cores in SCALE_CORES:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
@@ -186,8 +195,14 @@ def run_scaling() -> dict:
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
+            prior_min = min(runs[cores]) if runs[cores] else None
             runs[cores].append(rec["elapsed"])
             docs = rec["docs"]
+            if prior_min is None or rec["elapsed"] < prior_min * 0.98:
+                improved = True
+        stale = 0 if improved else stale + 1
+        if rep + 1 >= SCALE_MIN_REPEATS and stale >= 2:
+            break
     small, large = SCALE_CORES
     t_small, t_large = min(runs[small]), min(runs[large])
     speedup = t_small / t_large

@@ -11,5 +11,6 @@ make cheap to locate. A Structured Streaming wrapper
 """
 
 from raptor_rag_spark.streaming.incremental import incremental_level0, stream_pages
+from raptor_rag_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["incremental_level0", "stream_pages"]
+__all__ = ["incremental_level0", "sessionize_stream", "stream_pages"]
