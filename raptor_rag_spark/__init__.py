@@ -23,5 +23,15 @@ pandas UDFs (embed, chunk, summarize, hull).
 
 from raptor_rag_spark.config import EngineConfig
 
-__all__ = ["EngineConfig"]
-__version__ = "0.1.0"
+
+def engine(*args, **kwargs):
+    """Convenience constructor for the user-facing facade
+    (raptor_rag_spark.api.RaptorEngine) without importing pyspark at
+    package-import time."""
+    from raptor_rag_spark.api import RaptorEngine
+
+    return RaptorEngine(*args, **kwargs)
+
+
+__all__ = ["EngineConfig", "engine"]
+__version__ = "0.2.0"

@@ -8,9 +8,10 @@ signature kernels (Arrow-batched).
 
 Scale notes:
 - exact dedup = groupBy(hash) — map-side partial agg, one shuffle.
-- minhash-LSH: signatures are a pandas-UDF matmul-free kernel; band
-  buckets shuffle once on (band_idx, band_hash); candidate pairs are
-  verified with an exact set-intersection join, never all-pairs.
+- minhash-LSH: signatures are a batch-vectorized Arrow kernel (one
+  fnv1a_64_batch + reduceat per batch); band buckets shuffle once on
+  (band_idx, band_hash); candidate pairs are verified with the exact
+  shingle-set Jaccard (texts joined per candidate), never all-pairs.
 - ngram-jaccard: pure JVM (shingle explode + self-equi-join);
   hot shingles (stopword runs) are the skew risk — we cap posting
   lists (drop shingles appearing in > max_df docs, standard practice).
