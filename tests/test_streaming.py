@@ -97,3 +97,68 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path_factory):
     assert got[(1, 4)] == got[(1, 1)] + 1
     # user 2: second event past the gap -> new session
     assert got[(2, 11)] == got[(2, 10)] + 1
+
+
+def test_windowed_agg_with_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Structured Streaming event-time tumbling window + watermark:
+    the watermark persists in the checkpoint across availableNow runs,
+    finalized windows are emitted (append mode, file sink) once the
+    watermark passes their end, and a row arriving behind the watermark
+    is DROPPED. Three runs — file order inside one run is not
+    guaranteed, so each phase is its own run: (1) two windows of
+    events, (2) an event far ahead that advances the watermark,
+    (3) a late row for the first window."""
+    import datetime as dt
+
+    src = str(tmp_path_factory.mktemp("wm_src"))
+    chk = str(tmp_path_factory.mktemp("wm_chk"))
+    out = str(tmp_path_factory.mktemp("wm_out"))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, value double"
+
+    def rows(specs):
+        return [(eid, t0 + dt.timedelta(seconds=off), v) for eid, off, v in specs]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("win"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .select(F.col("win.start").cast("long").alias("ws"), "n", "s")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["ws"]: (r["n"], r["s"]) for r in spark.read.parquet(out).collect()
+        }
+
+    spark.createDataFrame(
+        rows([(1, 0, 1.0), (2, 30, 2.0), (3, 90, 3.0)]), schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    out1 = run()
+    assert out1 == {}  # nothing finalized yet (watermark lags a batch)
+
+    spark.createDataFrame(rows([(4, 3600, 4.0)]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()  # advances the persisted watermark past both windows
+
+    spark.createDataFrame(rows([(5, 10, 99.0)]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = run()
+
+    import calendar
+
+    w0 = calendar.timegm(t0.timetuple())
+    # both early windows finalized WITHOUT the late row (eid 5 dropped)
+    assert got[w0] == (2, 3.0), got
+    assert got[w0 + 60] == (1, 3.0), got
