@@ -162,3 +162,22 @@ def test_join_membership_paths_match_broadcast(spark, points, atiles):
     kj = tile_knn_adaptive(qq, points, atiles, k=5, ring=2, max_ring=4, membership="join")
     key = lambda df: sorted((r["query_id"], r["node_id"], r["rank"]) for r in df.collect())  # noqa: E731
     assert key(kb) == key(kj)
+
+
+def test_ann_index_join_membership_matches_broadcast(spark, points):
+    """TileAnnIndex built with membership='join' (no driver key sets)
+    returns the same top-k as the broadcast-membership index."""
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    kw = dict(dim=DIM, seeds=(224,), base_resolution=2, max_occupancy=64, max_resolution=7)
+    ib = TileAnnIndex(points, membership="broadcast", **kw)
+    ij = TileAnnIndex(points, membership="join", **kw)
+    q = points.limit(10).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(ib.search(q, k=5, ring=2)) == key(ij.search(q, k=5, ring=2))

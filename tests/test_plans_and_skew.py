@@ -239,3 +239,47 @@ def test_exact_dedup_shuffles_hash_not_text(spark):
     q.collect()
     plan = _plan(q)
     assert "hashpartitioning(_k" in plan, plan
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE's OptimizeSkewedJoin must split the hot partition of a
+    skewed sort-merge join (thresholds lowered to make the tiny fixture
+    register as skewed; broadcast disabled so a SMJ is planned)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 60000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+                F.concat(F.lit("c"), (F.col("id") % 97))
+            ).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("p"),
+        )
+        dim = spark.range(0, 200).select(
+            F.when(F.col("id") == 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("c"), F.col("id") % 97)
+            ).alias("k"),
+            F.col("id").alias("tag"),
+        ).distinct()
+        j = big.join(dim, "k")
+        # collect() executes THIS DataFrame's query execution, so its
+        # AdaptiveSparkPlan finalizes (count() would plan a separate QE)
+        j.collect()
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
