@@ -491,3 +491,37 @@ def embedding_neardup_pairs(
         )
 
     return rep.groupBy("_ka", "_kb").applyInPandas(pair_kernel, _NEARDUP_SCHEMA)
+
+
+def minhash_signatures_jvm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — pure JVM minhash over the md5-prefix60
+    base hash: distinct shingles explode (word_shingles), one hash
+    aggregate with ``n_hashes`` min() columns of the universal family
+    ((base % P) * a_i + b_i) % P. Exactly mirrorable in DuckDB SQL
+    (the Arrow-kernel variant make_minhash_udf is the no-shuffle twin
+    on the FNV base hash; same family parameters). Products stay under
+    2^62, so ANSI-safe."""
+    from raptor_rag_spark.operators.textstats import md5_prefix60
+
+    a, b = _minhash_params(n_hashes)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    ).withColumn("_h", md5_prefix60(F.col("_sh")) % F.lit(_P31))
+    aggs = [
+        F.min((F.col("_h") * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(_P31)).alias(
+            f"_m{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    acc = sh.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+    out = acc.select(F.col(id_col), sig.alias("sig"))
+    # NULL-text docs have no shingle rows: keep them with a null sig
+    return df.select(id_col).join(out, id_col, "left")

@@ -418,6 +418,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs, threshold=0.35)
 
 
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM minhash signatures (md5-prefix60 base hash, one hash
+    aggregate with 64 min() columns) — bit-identical DuckDB oracle.
+    The Arrow kernel (make_minhash_udf) stays the no-shuffle variant
+    used by minhash_dedup_pairs."""
+    from raptor_rag_spark.operators.dedup import minhash_signatures_jvm
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures_jvm(docs)
+    # long format: the driver's value hash handles scalars, not arrays
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("hash_idx", "min_val")
+    )
+
+
 def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM simhash (md5-prefix hash, one hash-aggregate over exploded
     tokens) — bit-identical oracle in DuckDB. The FNV Python kernel
@@ -811,6 +826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunks": q_chunks,
     "minhash_pairs": q_minhash_pairs,
     "simhash_sig": q_simhash_sig,
+    "minhash_sig": q_minhash_sig,
     "fingerprint": q_fingerprint,
     "collapsed_retrieval": q_collapsed_retrieval,
     "multimodal_features": q_multimodal_features,
@@ -868,6 +884,37 @@ SELECT doc_id,
            i -> CAST(concat('0x', substr(md5(concat_ws(' ', {parts})), 1, 15)) AS BIGINT)))
        END AS BIGINT) AS fingerprint
 FROM w
+"""
+
+
+def _minhash_sql(n_hashes: int = 64, shingle_n: int = 3) -> str:
+    from raptor_rag_spark.operators.dedup import _P31, _minhash_params
+
+    a, b = _minhash_params(n_hashes)
+    mins = ", ".join(
+        f"MIN((h * {int(a[i])} + {int(b[i])}) % {_P31}) AS m{i}" for i in range(n_hashes)
+    )
+    sig = "[" + ", ".join(f"m{i}" for i in range(n_hashes)) + "]"
+    parts = ", ".join(f"words[i+{j}]" for j in range(shingle_n))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(words) - {shingle_n - 1}, 1) + 1),
+                          i -> concat_ws(' ', {parts})))) AS sh
+  FROM w
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {_P31} AS h FROM sh
+), acc AS (
+  SELECT doc_id, {mins} FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(unnest(range(0, {n_hashes})) AS INT) AS hash_idx,
+       unnest({sig}) AS min_val
+FROM acc
 """
 
 
@@ -1000,6 +1047,7 @@ FROM m
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
         "simhash_sig": _simhash_sql(),
+        "minhash_sig": _minhash_sql(),
         "tile_assign": f"WITH {XY_CTE}\n{tile_union}",
         "tile_soft": f"""
 WITH {XY_CTE},

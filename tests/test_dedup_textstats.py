@@ -181,3 +181,18 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=1000)
     rows = plan.groupBy("media_id").agg(F.count("*").alias("n")).collect()
     assert rows and all(r["n"] >= 1 for r in rows)
+
+
+def test_minhash_jvm_signatures_estimate_jaccard(docs):
+    """JVM (md5-base) minhash: identical docs share the whole
+    signature; the planted near-dup pair's signature agreement
+    estimates the true shingle Jaccard within tolerance."""
+    from raptor_rag_spark.operators.dedup import minhash_signatures_jvm
+
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures_jvm(docs).collect()}
+    assert sigs[1] == sigs[101]  # exact dup -> identical signature
+    est = sum(x == y for x, y in zip(sigs[0], sigs[100])) / 64.0
+    true_j = len(set(_shingle_set(BASE_DOCS[0][1], 3)) & set(_shingle_set(DUPS[0][1], 3))) / len(
+        set(_shingle_set(BASE_DOCS[0][1], 3)) | set(_shingle_set(DUPS[0][1], 3))
+    )
+    assert abs(est - true_j) < 0.25
