@@ -83,6 +83,61 @@ class TileAnnIndex:
                 }
             self.views.append((seed, xy, atiles, populated))
 
+    def save(self, path: str) -> None:
+        """Persist the index: nodes + per-view tile tables as parquet,
+        parameters as JSON — load() reconstructs WITHOUT recomputing
+        projections or occupancy (the build cost). Layout:
+        <path>/meta.json, nodes.parquet, view-<seed>/{xy,atiles}.parquet."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes.parquet"))
+        seeds = []
+        for seed, xy, atiles, _pop in self.views:
+            vd = os.path.join(path, f"view-{seed}")
+            xy.write.mode("overwrite").parquet(os.path.join(vd, "xy.parquet"))
+            atiles.write.mode("overwrite").parquet(os.path.join(vd, "atiles.parquet"))
+            seeds.append(seed)
+        meta = {
+            "dim": self.dim,
+            "id_col": self.id_col,
+            "membership": self.membership,
+            "resolutions": self.resolutions,
+            "seeds": seeds,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh, indent=1)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "TileAnnIndex":
+        """Reconstruct a saved index (no projection/occupancy rebuild)."""
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        self = cls.__new__(cls)
+        self.dim = meta["dim"]
+        self.id_col = meta["id_col"]
+        self.membership = meta["membership"]
+        self.resolutions = meta["resolutions"]
+        self.nodes = spark.read.parquet(os.path.join(path, "nodes.parquet"))
+        self.views = []
+        for seed in meta["seeds"]:
+            vd = os.path.join(path, f"view-{seed}")
+            xy = spark.read.parquet(os.path.join(vd, "xy.parquet"))
+            atiles = spark.read.parquet(os.path.join(vd, "atiles.parquet"))
+            if self.membership == "join":
+                populated: set[int] | DataFrame = atiles.select("cell_key").distinct()
+            else:
+                populated = {
+                    int(r["cell_key"])
+                    for r in atiles.select("cell_key").distinct().collect()
+                }
+            self.views.append((seed, xy, atiles, populated))
+        return self
+
     def search(self, queries: DataFrame, k: int = 10, ring: int = 2) -> DataFrame:
         """queries(query_id, q_embedding) -> (query_id, node_id, dist,
         rank<=k). Exact cosine over the unioned candidate set."""

@@ -181,3 +181,26 @@ def test_ann_index_join_membership_matches_broadcast(spark, points):
         (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
     )
     assert key(ib.search(q, k=5, ring=2)) == key(ij.search(q, k=5, ring=2))
+
+
+def test_ann_index_save_load_identical(spark, points, tmp_path):
+    """A saved+loaded TileAnnIndex returns the same results as the
+    in-memory one (no projection/occupancy rebuild on load)."""
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    idx = TileAnnIndex(
+        points, dim=DIM, seeds=(224, 777), base_resolution=2, max_occupancy=64,
+        max_resolution=7,
+    )
+    p = str(tmp_path / "ann_idx")
+    idx.save(p)
+    idx2 = TileAnnIndex.load(spark, p)
+    q = points.limit(8).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(idx.search(q, k=5, ring=2)) == key(idx2.search(q, k=5, ring=2))
