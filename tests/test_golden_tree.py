@@ -123,3 +123,27 @@ def test_engine_tree_same_contract_on_cinderella_leaves(spark, ref_tree, tmp_pat
                     nxt.append(c)
         frontier = nxt
     assert seen == set(layer_of)
+
+
+def test_reference_demo_flow_on_cinderella(spark, ref_tree, tmp_path):
+    """The reference demo.ipynb flow (add_documents(story) ->
+    answer_question("How did Cinderella reach her happy ending?"))
+    through the engine facade: retrieval returns a non-empty context
+    drawn from the story for every mode."""
+    from raptor_rag_spark.api import RaptorEngine
+    from raptor_rag_spark.config import EngineConfig
+
+    story = "\n\n".join(n.text for n in ref_tree.layer_to_nodes[0])
+    eng = RaptorEngine(
+        spark, str(tmp_path / "cind"), EngineConfig(embedding_dim=64), embed_dim=64,
+        start_resolution=2,
+    )
+    eng.add_documents(story)
+    q = "How did Cinderella reach her happy ending?"
+    ctx_collapsed = eng.retrieve(q, top_k=5, collapse_tree=True)[0]
+    ctx_traversal = eng.retrieve(q, top_k=3, collapse_tree=False)[0]
+    for ctx in (ctx_collapsed, ctx_traversal):
+        assert ctx.strip()
+        assert "cinderella" in ctx.lower()
+    ans = eng.answer_question(q, top_k=5)
+    assert isinstance(ans, str) and ans
