@@ -734,13 +734,13 @@ def q_catalog_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     split into create (even doc_id) + append (odd doc_id) snapshots;
     each snapshot id must read exactly its chain's rows. Oracle
     recomputes the two counts from doc_id parity."""
-    import hashlib
     import os as _os
     import tempfile
 
     from raptor_rag_spark.sources.catalog import get_catalog
+    from raptor_rag_spark.sources.tables import source_fingerprint
 
-    tag = hashlib.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tag = source_fingerprint(sf_dir)
     root = _os.path.join(tempfile.gettempdir(), f"rrs_cat_{tag}")
     cat = get_catalog(spark, root)
     t = cat.table("documents")

@@ -58,15 +58,34 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cache key for derived /tmp artifacts: path + (name, size, mtime)
+    of every file of the source table — a regenerated testdata dir gets
+    a NEW key, so stale derived caches can never feed the oracle."""
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                h.update(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:12]
+
+
 def write_pages_partitioned(spark: SparkSession, sf_dir: str, base_dir: str | None = None) -> str:
     """Materialize the pages table partitioned by (year, month) — the
     SURVEY §2.8 layout: at 10^12 rows a month filter must prune at the
-    DIRECTORY level, never scan-and-filter. Idempotent per sf_dir
-    (marker file); returns the parquet root."""
-    import hashlib
+    DIRECTORY level, never scan-and-filter. Idempotent per source-data
+    fingerprint (marker file); returns the parquet root."""
     import tempfile
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tag = source_fingerprint(sf_dir)
     out = base_dir or os.path.join(tempfile.gettempdir(), f"rrs_pages_{tag}")
     marker = os.path.join(out, "_rrs_done")
     if not os.path.exists(marker):
