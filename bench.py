@@ -360,6 +360,9 @@ def main() -> None:
         "range_join",
         "pip_tiled",
         "global_topn",
+        "minhash_sig",
+        "catalog_snapshots",
+        "approx_distinct",
     ):
         timed(name, lambda n=name: queries[n](spark, SF_DIR).count())
 
