@@ -249,6 +249,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     verify: bool = True,
+    prefilter_slack: float = 0.15,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: sign -> band -> bucket equi-join ->
     verify. With ``verify=True`` (default) candidate pairs are checked
@@ -256,7 +257,13 @@ def minhash_dedup_pairs(
     candidates are rare, so this is cheap) and filtered on the true
     value; ``est_jaccard`` (fraction of agreeing signature hashes) is
     kept alongside. With ``verify=False`` the output is the LSH
-    ESTIMATE only, filtered on est_jaccard."""
+    ESTIMATE only, filtered on est_jaccard.
+
+    ``prefilter_slack``: before the (text-join) exact verify,
+    candidates with est_jaccard < threshold - slack are dropped — the
+    estimator's std at 64 hashes is ~sqrt(J(1-J)/64) <= 0.063, so 0.15
+    (~2.4 sigma) cuts the verify fan-in with negligible recall effect;
+    pass float('inf')-like slack (e.g. 1.0) to disable."""
     rows_per_band = n_hashes // bands
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
     sig = df.select(
@@ -291,6 +298,10 @@ def minhash_dedup_pairs(
     )
     if not verify:
         return est.filter(F.col("est_jaccard") >= threshold)
+    # pre-filter BEFORE the two text joins: est is already computed, so
+    # this costs one comparison and saves the text shuffle for the
+    # (majority) band-collision pairs far below threshold
+    est = est.filter(F.col("est_jaccard") >= threshold - prefilter_slack)
     jacc = make_exact_jaccard_udf(shingle_n)
     verified = (
         est.join(texts.select(F.col("id").alias("id_a"), F.col("_txt").alias("_ta")), "id_a")
@@ -431,6 +442,18 @@ def embedding_neardup_pairs(
         n_blocks = max(4, int((2.5 * par) ** 0.5))
     b = int(n_blocks)
 
+    # the id is cast to long for the numpy kernel: a non-integral id
+    # column would silently cast to NULL, collapse every row into the
+    # xxhash64(NULL) block, and crash the kernel on None ids — fail
+    # loudly up front instead
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"embedding_neardup_pairs needs an integral id column; "
+            f"{id_col!r} is {id_type}. Derive one first, e.g. "
+            f"xxhash64({id_col}) or row_number, and join back after."
+        )
+
     base = df.select(
         F.col(id_col).cast("long").alias("_id"), F.col(emb_col).alias("_emb")
     ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(b)).cast("int"))
@@ -525,3 +548,90 @@ def minhash_signatures_jvm(
     out = acc.select(F.col(id_col), sig.alias("sig"))
     # NULL-text docs have no shingle rows: keep them with a null sig
     return df.select(id_col).join(out, id_col, "left")
+
+
+def shingle_sets_jvm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, shingles array<string>) — DISTINCT word n-grams per doc as
+    one JVM array column (word_shingles + array_distinct). The exact-
+    Jaccard verify over candidate pairs is then pure array_intersect
+    arithmetic, bit-identical to DuckDB's list_intersect."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("shingles"),
+    )
+
+
+def minhash_dedup_pairs_jvm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    prefilter_slack: float = 0.15,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, every stage pure JVM and hence
+    mirrorable in ANSI-ish SQL (the DuckDB oracle for the
+    ``minhash_pairs`` contract query): md5-prefix60 signatures
+    (minhash_signatures_jvm) -> value-banding (band key = the band's
+    literal values, NOT an engine hash, so both engines bucket
+    identically) -> bucket equi-join -> est_jaccard pre-filter ->
+    EXACT shingle-set Jaccard via array_intersect.
+
+    Same shuffle shape as minhash_dedup_pairs (the Arrow-kernel twin
+    used in production): bands explode once, candidates equi-join on
+    the band key, exact verify touches only surviving pairs. The band
+    key here is rows_per_band longs instead of one 32-bit hash —
+    slightly wider shuffle rows, bought for oracle portability.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_jvm(df, id_col, text_col, n_hashes, shingle_n).filter(
+        F.col("sig").isNotNull()
+    ).select(F.col(id_col).alias("id"), "sig")
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band).alias("band_key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(n_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold - prefilter_slack)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    sh = shingle_sets_jvm(df, id_col, text_col, shingle_n)
+    verified = (
+        est.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sa")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "est_jaccard", "n_common", "jaccard")

@@ -66,17 +66,115 @@ def _rank_and_take(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# above this many queries the driver-collected broadcast matrix stops
+# being a build side and starts being a driver OOM: strategy='auto'
+# switches to the join-based (fully distributed) scoring path there.
+BROADCAST_MAX_QUERIES = 100_000
+
+
 def _collect_query_matrix(queries: DataFrame, query_id: str, q_emb: str):
-    """Query side -> (ids ndarray, float64 matrix). The query side is
-    small by contract (the node side is the 10^12 one); collecting it
-    to broadcast is the standard dense-matmul build side. Caps ~10^5
-    queries x 1024 dims before you'd block it."""
+    """Query side -> (ids ndarray, float64 matrix). Broadcast-path build
+    side for small query batches; large batches take the join path
+    (see BROADCAST_MAX_QUERIES / strategy='join')."""
     import numpy as np
 
     pdf = queries.select(query_id, q_emb).toPandas()
     ids = pdf[query_id].to_numpy(dtype=np.int64)
     mat = np.array(list(pdf[q_emb]), dtype=np.float64)
     return ids, mat
+
+
+def _resolve_strategy(strategy: str, queries: DataFrame) -> str:
+    """'auto' -> 'broadcast' below BROADCAST_MAX_QUERIES else 'join'
+    (one count() on the query side, which the caller's batch endpoint
+    knows anyway)."""
+    if strategy != "auto":
+        return strategy
+    return "broadcast" if queries.count() <= BROADCAST_MAX_QUERIES else "join"
+
+
+def _brute_force_knn_join(
+    queries: DataFrame,
+    nodes: DataFrame,
+    k: int,
+    query_id: str,
+    node_id: str,
+    q_emb: str,
+    n_emb: str,
+    n_query_blocks: int | None = None,
+    n_node_blocks: int | None = None,
+) -> DataFrame:
+    """Fully distributed brute-force kNN — NO driver collect of either
+    side, so 10^6+ query batches behave exactly like 10 (the batch
+    contract in retrieve.py).
+
+    Physical strategy — two-sided blocked matmul (same shape as
+    dedup.embedding_neardup_pairs): queries hash into QB blocks, nodes
+    into NB blocks; each query row is replicated to every node block and
+    vice versa; one ``applyInPandas`` group per (qb, nb) block pair does
+    a BLAS matmul and emits its per-query partial top-k. The global
+    window then sees at most NB*k rows per query — the union of partial
+    top-ks always contains the global top-k. Shuffle volume is
+    |Q|*NB + |N|*QB rows; block counts default from the cluster's
+    parallelism so every core gets a block pair."""
+    import numpy as np
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    qb = int(n_query_blocks) if n_query_blocks else max(2, int(par ** 0.5))
+    nb = int(n_node_blocks) if n_node_blocks else max(2, int(par ** 0.5))
+
+    qrep = (
+        queries.select(
+            F.lit(0).alias("_side"),
+            F.col(query_id).cast("long").alias("_id"),
+            F.col(q_emb).alias("_emb"),
+        )
+        .withColumn("_qb", F.pmod(F.xxhash64("_id"), F.lit(qb)).cast("int"))
+        .withColumn("_nb", F.explode(F.array(*[F.lit(i) for i in range(nb)])))
+    )
+    nrep = (
+        nodes.select(
+            F.lit(1).alias("_side"),
+            F.col(node_id).cast("long").alias("_id"),
+            F.col(n_emb).alias("_emb"),
+        )
+        .withColumn("_nb", F.pmod(F.xxhash64("_id"), F.lit(nb)).cast("int"))
+        .withColumn("_qb", F.explode(F.array(*[F.lit(i) for i in range(qb)])))
+    )
+
+    def block_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["_side"].to_numpy()
+        q_sel = side == 0
+        n_sel = ~q_sel
+        if not q_sel.any() or not n_sel.any():
+            return pd.DataFrame({query_id: [], node_id: [], "dist": []}).astype(
+                {query_id: "int64", node_id: "int64", "dist": "float64"}
+            )
+        q_ids = pdf["_id"].to_numpy(dtype=np.int64)[q_sel]
+        n_ids = pdf["_id"].to_numpy(dtype=np.int64)[n_sel]
+        q_mat = np.array(list(pdf["_emb"][q_sel]), dtype=np.float64)
+        n_mat = np.array(list(pdf["_emb"][n_sel]), dtype=np.float64)
+        dists = 1.0 - q_mat @ n_mat.T  # (nq, nn)
+        take = min(k, dists.shape[1])
+        part = np.argpartition(dists, take - 1, axis=1)[:, :take]
+        rows_q = np.repeat(np.arange(len(q_ids)), take)
+        cols = part.reshape(-1)
+        return pd.DataFrame(
+            {
+                query_id: q_ids[rows_q],
+                node_id: n_ids[cols],
+                "dist": dists[rows_q, cols],
+            }
+        )
+
+    scored = (
+        qrep.unionByName(nrep)
+        .groupBy("_qb", "_nb")
+        .applyInPandas(block_kernel, f"{query_id} long, {node_id} long, dist double")
+    )
+    return _rank_and_take(scored, k, query_id, node_id)
 
 
 def brute_force_knn(
@@ -87,21 +185,30 @@ def brute_force_knn(
     node_id: str = "node_id",
     q_emb: str = "q_embedding",
     n_emb: str = "embedding",
-    broadcast_queries: bool = True,  # kept for API compat; always broadcast
+    broadcast_queries: bool = True,  # kept for API compat (pre-strategy)
+    strategy: str = "auto",
 ) -> DataFrame:
-    """(query_id, node_id, dist, rank<=k). Exact.
+    """(query_id, node_id, dist, rank<=k). Exact at any batch size.
 
-    Physical strategy: the query matrix is broadcast as numpy; each
-    Arrow batch of NODES does one BLAS matmul against it and emits the
-    per-batch top-k per query (map-side partial top-k => the shuffle
-    into the final window carries at most parts*k rows per query, not
-    |nodes|). The big side streams with zero shuffle. A Catalyst
-    zip_with/aggregate cosine is interpreted (~0.27 ms/row measured)
-    — 1000x slower than this path at scale.
+    strategy='broadcast' (small query batches): the query matrix is
+    broadcast as numpy; each Arrow batch of NODES does one BLAS matmul
+    against it and emits the per-batch top-k per query (map-side
+    partial top-k => the shuffle into the final window carries at most
+    parts*k rows per query, not |nodes|). The big side streams with
+    zero shuffle. A Catalyst zip_with/aggregate cosine is interpreted
+    (~0.27 ms/row measured) — 1000x slower than this path at scale.
+
+    strategy='join' (large query batches): two-sided blocked matmul,
+    no driver collect of either side (_brute_force_knn_join). 'auto'
+    switches at BROADCAST_MAX_QUERIES.
     """
     import numpy as np
     import pandas as pd
 
+    if _resolve_strategy(strategy, queries) == "join":
+        return _brute_force_knn_join(
+            queries, nodes, k, query_id, node_id, q_emb, n_emb
+        )
     q_ids, q_mat = _collect_query_matrix(queries, query_id, q_emb)
     spark = nodes.sparkSession
     if len(q_ids) == 0:
@@ -145,6 +252,7 @@ def tile_knn_candidates(
     resolution: int,
     ring: int = 1,
     query_id: str = "query_id",
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Candidate generation: explode the query's neighbor-ring cells at
     ``resolution`` and equi-join the node tile table on cell_id.
@@ -152,7 +260,9 @@ def tile_knn_candidates(
     queries_xy needs x, y (reduced coords); node_tiles is the long
     (node_id, resolution, cell_id, is_soft) table — pre-filtered to one
     resolution here, so partition pruning applies when tiles are
-    written partitioned by resolution.
+    written partitioned by resolution. ``broadcast_probe=False`` drops
+    the broadcast hint for huge query batches (AQE then picks a
+    shuffle-hash join on cell_id).
     """
     q = queries_xy.withColumn("ix", grid_index(F.col("x"), resolution)).withColumn(
         "iy", grid_index(F.col("y"), resolution)
@@ -163,14 +273,53 @@ def tile_knn_candidates(
     tiles = node_tiles.filter(F.col("resolution") == resolution).select(
         "node_id", "cell_id"
     )
+    probe = F.broadcast(q) if broadcast_probe else q
     # dropDuplicates: soft assignment can emit a node into several of
     # the query's ring cells — each (query, node) pair scores once.
     return (
-        F.broadcast(q)
+        probe
         .join(tiles, "cell_id")
         .select(query_id, "node_id")
         .dropDuplicates([query_id, "node_id"])
     )
+
+
+def _score_candidates_join(
+    cand_with_emb: DataFrame,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    q_emb: str = "q_embedding",
+) -> DataFrame:
+    """Join-based twin of :func:`_score_candidates` for query batches
+    past the broadcast bound: candidates equi-join the query-embedding
+    table on query_id (shuffle-hash or broadcast, AQE's call), then one
+    Arrow kernel computes the row-wise dot per batch. The query vector
+    travels with each candidate row — double the Arrow traffic of the
+    broadcast lookup, but NO driver-resident state, so 10^6+ query
+    batches score exactly like 10 (pytest-asserted parity)."""
+    import numpy as np
+    import pandas as pd
+
+    joined = cand_with_emb.select(query_id, "node_id", "embedding").join(
+        queries.select(query_id, q_emb), query_id
+    )
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q_mat = np.array(list(pdf[q_emb]), dtype=np.float64)
+            n_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            dists = 1.0 - np.einsum("ij,ij->i", q_mat, n_mat)
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id].to_numpy(dtype=np.int64),
+                    "node_id": pdf["node_id"].to_numpy(dtype=np.int64),
+                    "dist": dists,
+                }
+            )
+
+    return joined.mapInPandas(score, f"{query_id} long, node_id long, dist double")
 
 
 def _score_candidates(
@@ -178,16 +327,20 @@ def _score_candidates(
     queries: DataFrame,
     query_id: str = "query_id",
     q_emb: str = "q_embedding",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """(query_id, node_id, embedding) candidates -> exact cosine dist,
     via a broadcast query matrix + per-Arrow-batch vectorized lookup
     matmul (einsum). Only the node embedding travels with the row; the
     query vector is looked up from the broadcast — half the Arrow
     traffic of shipping both vectors, and no interpreted Catalyst
-    higher-order functions in the hot path."""
+    higher-order functions in the hot path. strategy='join' switches to
+    the distributed no-collect twin (_score_candidates_join)."""
     import numpy as np
     import pandas as pd
 
+    if strategy == "join":
+        return _score_candidates_join(cand_with_emb, queries, query_id, q_emb)
     q_ids, q_mat = _collect_query_matrix(queries, query_id, q_emb)
     spark = cand_with_emb.sparkSession
     if len(q_ids) == 0:
@@ -227,8 +380,14 @@ def tile_knn(
     max_ring: int | None = None,
     query_id: str = "query_id",
     q_emb: str = "q_embedding",
+    scoring: str = "auto",
 ) -> DataFrame:
     """Tile-pruned kNN: candidates via cell equi-join, exact re-rank.
+
+    ``scoring`` picks the exact-re-rank physical path: 'broadcast'
+    (driver-collected query matrix, small batches), 'join' (fully
+    distributed, unbounded batches), 'auto' (switch on query count —
+    resolved ONCE here, not per ring round).
 
     ``queries`` must carry x, y (from tile.reduce_2d on the query
     embedding). If ``max_ring`` > ring, queries with < k candidates are
@@ -243,18 +402,23 @@ def tile_knn(
     grid_n = 1 << (resolution + 1)
     max_ring = min(max_ring, grid_n)
     schedule = sorted({min(ring, max_ring), min(ring * 4, max_ring), max_ring})
+    scoring = _resolve_strategy(scoring, queries)
 
     # pin the (small) query side once: every round broadcasts it, and
     # without this the query-embedding pipeline re-executes per round
     remaining = queries.localCheckpoint(eager=True) if len(schedule) > 1 else queries
     results: DataFrame | None = None
     for round_i, r in enumerate(schedule):
-        cand = tile_knn_candidates(remaining, node_tiles, resolution, r, query_id)
+        cand = tile_knn_candidates(
+            remaining, node_tiles, resolution, r, query_id,
+            broadcast_probe=(scoring == "broadcast"),
+        )
         scored = _score_candidates(
             cand.join(nodes.select("node_id", "embedding"), "node_id"),
             remaining,
             query_id,
             q_emb,
+            strategy=scoring,
         )
         ranked = _rank_and_take(scored, k, query_id)
         if round_i == len(schedule) - 1:
@@ -469,18 +633,22 @@ def adaptive_candidates(
     resolutions: list[int],
     ring: int = 1,
     query_id: str = "query_id",
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Candidate generation: vectorized probe-cell kernel + one long
     equi-join on the Morton cell_key. Each node lives in exactly one
     cell, so no dedup shuffle is needed. ``populated`` is either a
     broadcastable key set (fast path, bounded cell counts) or the
-    distinct-cells DataFrame (join path, unbounded)."""
+    distinct-cells DataFrame (join path, unbounded);
+    ``broadcast_probe=False`` lets AQE plan a shuffle-hash join for
+    huge query batches."""
     if isinstance(populated, DataFrame):
         qcells = probe_cells_join(queries_xy, populated, resolutions, ring, query_id)
     else:
         qcells = probe_cells(queries_xy, populated, resolutions, ring, query_id)
+    probe = F.broadcast(qcells) if broadcast_probe else qcells
     return (
-        F.broadcast(qcells)
+        probe
         .join(atiles.select("node_id", "cell_key"), ["cell_key"])
         .select(query_id, "node_id")
     )
@@ -497,6 +665,7 @@ def tile_knn_adaptive(
     q_emb: str = "q_embedding",
     membership: str = "auto",
     resolutions: list[int] | None = None,
+    scoring: str = "auto",
 ) -> DataFrame:
     """kNN join against adaptive quadtree tiles (the scale path for
     skewed corpora). Same ring-expansion contract as tile_knn.
@@ -506,7 +675,10 @@ def tile_knn_adaptive(
     set (fast, bounded — fine while max resolution <= 12, ~10^7 cells);
     'join' keeps them as a DataFrame and intersects via two broadcast
     joins (unbounded, two extra scans of the distinct-cells table);
-    'auto' switches on the finest resolution present."""
+    'auto' switches on the finest resolution present. ``scoring`` is
+    the query-side twin of the same bound: 'broadcast' collects the
+    query matrix to the driver, 'join' scores via a distributed
+    equi-join (no collect), 'auto' switches on query count."""
     if resolutions is None:
         resolutions = sorted(
             r["resolution"] for r in atiles.select("resolution").distinct().collect()
@@ -522,15 +694,20 @@ def tile_knn_adaptive(
             int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()
         }
     schedule = sorted({min(ring, max_ring), min(ring * 4, max_ring), max_ring})
+    scoring = _resolve_strategy(scoring, queries)
     remaining = queries.localCheckpoint(eager=True) if len(schedule) > 1 else queries
     results: DataFrame | None = None
     for round_i, r in enumerate(schedule):
-        cand = adaptive_candidates(remaining, atiles, populated, resolutions, r, query_id)
+        cand = adaptive_candidates(
+            remaining, atiles, populated, resolutions, r, query_id,
+            broadcast_probe=(scoring == "broadcast"),
+        )
         scored = _score_candidates(
             cand.join(nodes.select("node_id", "embedding"), "node_id"),
             remaining,
             query_id,
             q_emb,
+            strategy=scoring,
         )
         ranked = _rank_and_take(scored, k, query_id)
         if round_i == len(schedule) - 1:

@@ -47,20 +47,25 @@ def retrieve_collapsed(
     resolution: int = 3,
     k: int | None = None,
     max_tokens: int | None = None,
+    scoring: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """(selected nodes with rank/dist/cum_tokens, per-query contexts).
 
     queries: (query_id, q_embedding, x, y); nodes: collapsed node table.
+    ``scoring='auto'`` keeps small batches on the broadcast-matrix fast
+    path and switches large ones to the fully distributed join path
+    (no driver collect) — one query or 10^6 give identical results.
     """
     k = k or cfg.top_k
     max_tokens = max_tokens or cfg.retrieve_max_tokens
     if method == "brute":
-        ranked = brute_force_knn(queries, nodes, k=k)
+        ranked = brute_force_knn(queries, nodes, k=k, strategy=scoring)
     else:
         tiles = tile_assignments(nodes, "node_id", [resolution], cfg.soft_eps)
         grid_n = 1 << (resolution + 1)
         ranked = tile_knn(
-            queries, nodes, tiles, resolution=resolution, k=k, ring=1, max_ring=grid_n
+            queries, nodes, tiles, resolution=resolution, k=k, ring=1,
+            max_ring=grid_n, scoring=scoring,
         )
     sel = ranked.join(nodes.select("node_id", "text", "n_tokens", "layer"), "node_id")
     kept = token_budget_prefix(sel, max_tokens=max_tokens)

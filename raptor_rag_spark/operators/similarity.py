@@ -60,6 +60,7 @@ class TileAnnIndex:
         self.dim = dim
         self.id_col = id_col
         self.membership = membership
+        self.recall: float | None = None
         self.resolutions = list(range(base_resolution, max_resolution + 1))
         self.nodes = nodes.select(F.col(id_col).alias("node_id"), "embedding").localCheckpoint(
             eager=True
@@ -83,35 +84,46 @@ class TileAnnIndex:
                 }
             self.views.append((seed, xy, atiles, populated))
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, recall: float | None = None) -> None:
         """Persist the index: nodes + per-view tile tables as parquet,
         parameters as JSON — load() reconstructs WITHOUT recomputing
-        projections or occupancy (the build cost). Layout:
-        <path>/meta.json, nodes.parquet, view-<seed>/{xy,atiles}.parquet."""
+        projections or occupancy (the build cost). With
+        membership='broadcast' the per-view populated-cell key lists go
+        into meta.json too (bounded by MAX_BROADCAST_RESOLUTION), so
+        load() runs NO Spark job to rebuild them. ``recall`` (e.g. from
+        measure_recall) is stored for drift detection: re-measure after
+        an append and compare. Layout: <path>/meta.json, nodes.parquet,
+        view-<seed>/{xy,atiles}.parquet."""
         import json
         import os
 
         os.makedirs(path, exist_ok=True)
         self.nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes.parquet"))
-        seeds = []
-        for seed, xy, atiles, _pop in self.views:
+        seeds, keys = [], {}
+        for seed, xy, atiles, pop in self.views:
             vd = os.path.join(path, f"view-{seed}")
             xy.write.mode("overwrite").parquet(os.path.join(vd, "xy.parquet"))
             atiles.write.mode("overwrite").parquet(os.path.join(vd, "atiles.parquet"))
             seeds.append(seed)
+            if isinstance(pop, set):
+                keys[str(seed)] = sorted(pop)
         meta = {
             "dim": self.dim,
             "id_col": self.id_col,
             "membership": self.membership,
             "resolutions": self.resolutions,
             "seeds": seeds,
+            "populated_keys": keys,
+            "recall": recall,
         }
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(meta, fh, indent=1)
 
     @classmethod
     def load(cls, spark, path: str) -> "TileAnnIndex":
-        """Reconstruct a saved index (no projection/occupancy rebuild)."""
+        """Reconstruct a saved index — no projection/occupancy rebuild,
+        and (broadcast membership) no collect(): key sets come straight
+        from meta.json."""
         import json
         import os
 
@@ -122,7 +134,9 @@ class TileAnnIndex:
         self.id_col = meta["id_col"]
         self.membership = meta["membership"]
         self.resolutions = meta["resolutions"]
+        self.recall = meta.get("recall")
         self.nodes = spark.read.parquet(os.path.join(path, "nodes.parquet"))
+        saved_keys = meta.get("populated_keys", {})
         self.views = []
         for seed in meta["seeds"]:
             vd = os.path.join(path, f"view-{seed}")
@@ -130,7 +144,9 @@ class TileAnnIndex:
             atiles = spark.read.parquet(os.path.join(vd, "atiles.parquet"))
             if self.membership == "join":
                 populated: set[int] | DataFrame = atiles.select("cell_key").distinct()
-            else:
+            elif str(seed) in saved_keys:
+                populated = {int(k) for k in saved_keys[str(seed)]}
+            else:  # pre-r3 save layout: fall back to recomputing
                 populated = {
                     int(r["cell_key"])
                     for r in atiles.select("cell_key").distinct().collect()
@@ -138,12 +154,27 @@ class TileAnnIndex:
             self.views.append((seed, xy, atiles, populated))
         return self
 
-    def search(self, queries: DataFrame, k: int = 10, ring: int = 2) -> DataFrame:
+    def measure_recall(self, queries: DataFrame, k: int = 10, ring: int = 2) -> float:
+        """recall@k of this index's search vs exact brute force over the
+        same queries — the number save() embeds for drift detection."""
+        approx = self.search(queries, k=k, ring=ring).select("query_id", "node_id")
+        exact = brute_force_knn(queries, self.nodes, k=k).select("query_id", "node_id")
+        hit = approx.join(exact, ["query_id", "node_id"], "inner").count()
+        total = exact.count()
+        return hit / total if total else 1.0
+
+    def search(
+        self, queries: DataFrame, k: int = 10, ring: int = 2, scoring: str = "auto"
+    ) -> DataFrame:
         """queries(query_id, q_embedding) -> (query_id, node_id, dist,
-        rank<=k). Exact cosine over the unioned candidate set."""
-        from raptor_rag_spark.operators.knn import probe_cells_join
+        rank<=k). Exact cosine over the unioned candidate set.
+        ``scoring='auto'`` switches the re-rank (and the probe-join
+        hint) from the broadcast fast path to the fully distributed
+        join path above BROADCAST_MAX_QUERIES queries."""
+        from raptor_rag_spark.operators.knn import _resolve_strategy, probe_cells_join
 
         q = queries.localCheckpoint(eager=True)
+        scoring = _resolve_strategy(scoring, q)
         cands = None
         for seed, _xy, atiles, populated in self.views:
             q_xy = reduce_2d(
@@ -153,14 +184,15 @@ class TileAnnIndex:
                 pc = probe_cells_join(q_xy, populated, self.resolutions, ring)
             else:
                 pc = probe_cells(q_xy, populated, self.resolutions, ring)
+            probe = F.broadcast(pc) if scoring == "broadcast" else pc
             c = (
-                F.broadcast(pc)
+                probe
                 .join(atiles.select("node_id", "cell_key"), "cell_key")
                 .select("query_id", "node_id")
             )
             cands = c if cands is None else cands.unionByName(c)
         cands = cands.dropDuplicates(["query_id", "node_id"])
-        scored = _score_candidates(cands.join(self.nodes, "node_id"), q)
+        scored = _score_candidates(cands.join(self.nodes, "node_id"), q, strategy=scoring)
         return _rank_and_take(scored, k)
 
 

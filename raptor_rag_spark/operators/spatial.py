@@ -288,10 +288,16 @@ def polygon_cell_cover(
         def orient(p, q, r):
             return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
 
+        # <= 0: orientation 0 (an edge touching a cell corner or
+        # collinear with a cell border) classifies the cell as boundary,
+        # so grid-aligned polygon vertices get the exact per-point ray
+        # cast instead of the center-point shortcut. Conservative: a
+        # collinear-but-disjoint segment only adds a cell to the
+        # boundary band (extra exact tests), never misclassifies.
         for c, d in rect:
             if (
-                orient(a, b, c) * orient(a, b, d) < 0
-                and orient(c, d, a) * orient(c, d, b) < 0
+                orient(a, b, c) * orient(a, b, d) <= 0
+                and orient(c, d, a) * orient(c, d, b) <= 0
             ):
                 return True
         return False

@@ -293,8 +293,14 @@ def _rerank_rounded(out: DataFrame, k: int) -> DataFrame:
 
 
 # margin rows fetched beyond k so re-ranking on the rounded distance
-# cannot lose a row that rounding pulls across the k boundary
-RANK_MARGIN = 3
+# cannot lose a row that rounding pulls across the k boundary. The
+# engine fetches top-(k+margin) on the UNROUNDED dist while the oracle
+# ranks every row on the rounded dist, so the compare only holds while
+# fewer than RANK_MARGIN+1 candidates tie within 1e-6 at the k
+# boundary. 16 distinct 64-dim hash-embedder vectors landing in one
+# 1e-6 distance bucket around the k-th neighbor is beyond-astronomical;
+# per-batch top-k fetch cost is unchanged.
+RANK_MARGIN = 16
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,8 +420,15 @@ def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs, fully JVM (md5-prefix60 signatures,
+    value banding, est pre-filter, exact array_intersect Jaccard) —
+    every stage mirrored bit-identically in the DuckDB oracle. The
+    Arrow-kernel twin (minhash_dedup_pairs) keeps its pytest
+    exact-verify coverage."""
+    from raptor_rag_spark.operators.dedup import minhash_dedup_pairs_jvm
+
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.35)
+    return minhash_dedup_pairs_jvm(docs, threshold=0.35)
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +931,75 @@ FROM acc
 """
 
 
+def _minhash_pairs_sql(
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.35,
+    slack: float = 0.15,
+) -> str:
+    """DuckDB mirror of minhash_dedup_pairs_jvm: same md5-prefix60 base
+    hash, same universal family, same value-banding, same est
+    pre-filter, same exact shingle Jaccard (list_intersect)."""
+    from raptor_rag_spark.operators.dedup import _P31, _minhash_params
+
+    a, b = _minhash_params(n_hashes)
+    rpb = n_hashes // bands
+    mins = ", ".join(
+        f"MIN((h * {int(a[i])} + {int(b[i])}) % {_P31}) AS m{i}" for i in range(n_hashes)
+    )
+    sig = "[" + ", ".join(f"m{i}" for i in range(n_hashes)) + "]"
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig, {bi} AS band_idx, "
+        + "["
+        + ", ".join(f"m{bi * rpb + j}" for j in range(rpb))
+        + "] AS band_key FROM acc"
+        for bi in range(bands)
+    )
+    parts = ", ".join(f"words[i+{j}]" for j in range(shingle_n))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), shs AS (
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, greatest(len(words) - {shingle_n - 1}, 1) + 1),
+                          i -> concat_ws(' ', {parts}))) AS shingles
+  FROM w
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM shs
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {_P31} AS h FROM sh
+), acc AS (
+  SELECT doc_id, {mins} FROM h GROUP BY doc_id
+), acc2 AS (
+  SELECT *, {sig} AS sig FROM acc
+), banded AS (
+  {band_selects.replace('FROM acc', 'FROM acc2')}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), est AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(range(1, {n_hashes} + 1), i -> sa.sig[i] = sb.sig[i])) * 1.0 / {n_hashes} AS est_jaccard
+  FROM pairs p JOIN acc2 sa ON sa.doc_id = p.id_a JOIN acc2 sb ON sb.doc_id = p.id_b
+  WHERE len(list_filter(range(1, {n_hashes} + 1), i -> sa.sig[i] = sb.sig[i])) * 1.0 / {n_hashes}
+        >= {threshold} - {slack}
+), verified AS (
+  SELECT e.id_a, e.id_b, ROUND(e.est_jaccard, 6) AS est_jaccard,
+         CAST(len(list_intersect(ga.shingles, gb.shingles)) AS BIGINT) AS n_common,
+         len(ga.shingles) AS sz_a, len(gb.shingles) AS sz_b
+  FROM est e JOIN shs ga ON ga.doc_id = e.id_a JOIN shs gb ON gb.doc_id = e.id_b
+)
+SELECT id_a, id_b, est_jaccard, n_common,
+       ROUND(n_common * 1.0 / (sz_a + sz_b - n_common), 6) AS jaccard
+FROM verified
+WHERE ROUND(n_common * 1.0 / (sz_a + sz_b - n_common), 6) >= {threshold}
+"""
+
+
 def _simhash_sql(bits: int = 48) -> str:
     from raptor_rag_spark.tokenizer import TOKEN_PATTERN
 
@@ -1048,6 +1130,7 @@ FROM m
         "fingerprint": _fingerprint_sql(),
         "simhash_sig": _simhash_sql(),
         "minhash_sig": _minhash_sql(),
+        "minhash_pairs": _minhash_pairs_sql(),
         "tile_assign": f"WITH {XY_CTE}\n{tile_union}",
         "tile_soft": f"""
 WITH {XY_CTE},

@@ -66,14 +66,27 @@ class SnapshotTable:
 
     # ------------------------------------------------------- writes
     def _write_snapshot(self, df: DataFrame, meta: dict, op: str) -> dict:
+        import shutil
+
         sid = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 1
         sub = f"snap-{sid}"
         path = os.path.join(self.dir, sub)
+        # Crash safety: write to an inflight dir and rename into place
+        # just before the metadata commit. A crash between data write
+        # and _store leaves only uncommitted garbage that the retried
+        # append (same recomputed sid — it's not in metadata) reclaims;
+        # with errorifexists straight onto `path` the retry would fail
+        # permanently on the orphan.
+        tmp = path + ".inflight"
+        for stale in (tmp, path):  # orphans from a crashed prior attempt
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         w = df.write.mode("errorifexists")
         if meta["partition_by"]:
             w = w.partitionBy(*meta["partition_by"])
-        w.parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        w.parquet(tmp)
+        rows = self.spark.read.parquet(tmp).count()
+        os.rename(tmp, path)
         parent = meta["current"] if meta["snapshots"] else None
         snap = {"id": sid, "parent": parent, "dirs": [sub], "rows": rows, "op": op}
         meta["snapshots"].append(snap)

@@ -51,8 +51,13 @@ def _session_fn(gap_sec: int):
         else:
             last_es, session_idx, n_in_session = None, 0, 0
         out_event, out_es, out_sess = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["es", "event_id"])
+        # applyInPandasWithState delivers a large group's micro-batch as
+        # SEVERAL Arrow chunks (~10k rows each) with no cross-chunk order
+        # guarantee: concatenate first, sort ONCE per group-batch, so
+        # events spanning chunks thread through the state in time order.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["es", "event_id"])
             for eid, es in zip(pdf["event_id"], pdf["es"]):
                 es = int(es)
                 if last_es is not None and es - last_es > gap_sec:

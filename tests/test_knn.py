@@ -177,3 +177,80 @@ def test_multi_model_embeddings(spark):
 
     for r in sel:
         assert abs(math.fsum(v * v for v in r["embedding"]) - 1.0) < 1e-5
+
+
+# ------------------------- join-based (no driver collect) scoring ----
+
+
+def _rows_by_query(rows):
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["node_id"], r["dist"]))
+    for v in by_q.values():
+        v.sort()
+    return by_q
+
+
+def test_brute_force_join_strategy_matches_broadcast(data):
+    nodes, queries, nv32, qv32 = data
+    a = _rows_by_query(brute_force_knn(queries, nodes, k=K, strategy="broadcast").collect())
+    b = _rows_by_query(brute_force_knn(queries, nodes, k=K, strategy="join").collect())
+    assert set(a) == set(b) == set(range(N_QUERIES))
+    for qi in a:
+        assert [n for _, n, _ in a[qi]] == [n for _, n, _ in b[qi]]
+        for (_, _, da), (_, _, db) in zip(a[qi], b[qi]):
+            assert abs(da - db) < 1e-9
+
+
+def test_tile_knn_join_scoring_matches_broadcast(data):
+    nodes, queries, nv32, qv32 = data
+    res = 2
+    nodes_xy = reduce_2d(nodes, dim=DIM)
+    tiles = tile_assignments(nodes_xy, "node_id", [res])
+    queries_xy = reduce_2d(
+        queries.withColumnRenamed("q_embedding", "embedding"), dim=DIM
+    ).withColumnRenamed("embedding", "q_embedding")
+    kw = dict(resolution=res, k=K, ring=1, max_ring=1 << (res + 1))
+    a = _rows_by_query(
+        tile_knn(queries_xy, nodes, tiles, scoring="broadcast", **kw).collect()
+    )
+    b = _rows_by_query(
+        tile_knn(queries_xy, nodes, tiles, scoring="join", **kw).collect()
+    )
+    assert a.keys() == b.keys()
+    for qi in a:
+        assert [n for _, n, _ in a[qi]] == [n for _, n, _ in b[qi]]
+
+
+def test_join_strategy_never_collects_to_driver(data, monkeypatch):
+    """The whole point of strategy='join': NO .toPandas()/.collect() of
+    the query side. Poison toPandas and run the full plan."""
+    import pyspark.sql
+
+    nodes, queries, nv32, qv32 = data
+    out = brute_force_knn(queries, nodes, k=K, strategy="join")
+
+    def _boom(self):
+        raise AssertionError("driver collect in join-strategy plan")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", _boom)
+    rows = out.collect()  # plan executes without any driver matrix
+    assert len(rows) == N_QUERIES * K
+
+
+def test_auto_strategy_switches_on_query_count(data, monkeypatch):
+    """Above BROADCAST_MAX_QUERIES, strategy='auto' must take the join
+    path — provable by poisoning toPandas BEFORE building the plan."""
+    import pyspark.sql
+
+    from raptor_rag_spark.operators import knn as knn_mod
+
+    nodes, queries, nv32, qv32 = data
+    monkeypatch.setattr(knn_mod, "BROADCAST_MAX_QUERIES", N_QUERIES - 1)
+
+    def _boom(self):
+        raise AssertionError("broadcast path taken above the threshold")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", _boom)
+    rows = brute_force_knn(queries, nodes, k=K, strategy="auto").collect()
+    assert len(rows) == N_QUERIES * K
