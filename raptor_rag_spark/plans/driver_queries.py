@@ -413,10 +413,21 @@ def q_self_similarity_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 stateful chunk packing (not SQL-expressible; pytest covers
-    parity vs the reference kernel)."""
+    """P3 stateful chunk packing (not SQL-expressible — the running cut
+    point resets). Contract output is a per-chunk digest incl. md5 of
+    the EXACT chunk text, compared against a pinned golden oracle
+    (tools/gen_pinned_oracles.py): byte-level parity evidence, stronger
+    than the old rows-only check. Kernel parity vs the actual reference
+    split_text stays hypothesis-tested in test_chunker_parity."""
     docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, max_tokens=60)
+    ch = chunk_documents(docs, max_tokens=60)
+    return ch.select(
+        "chunk_id",
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("text").alias("text_md5"),
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,6 +1037,75 @@ FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
 """
 
 
+# ---------------------- pinned golden VALUES oracles ----------------
+# For kernels that are not SQL-expressible (stateful chunking,
+# hash-embedder retrieval, multimodal fake decode, engine HLL) the
+# engine output at a given sf dir is a deterministic constant (seeded
+# projection, hash embedder, pinned tie-breaks) — generated ONCE by
+# tools/gen_pinned_oracles.py, re-emitted here as a typed VALUES table
+# guarded by the sf's document count. This upgrades those queries from
+# the driver's rows-only check to the full hash compare; regenerate
+# only on an intentional semantic change.
+
+_DUCK_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+}
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def pinned_oracle_map() -> dict[str, str]:
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "pinned_oracles.json")
+    if not os.path.exists(path):  # pre-generation: stay rows-only
+        return {}
+    with open(path) as fh:
+        pinned = json.load(fh)
+    out: dict[str, str] = {}
+    for name, e in pinned.items():
+        cols = e["columns"]
+        col_list = ", ".join(f"c{i}" for i in range(len(cols)))
+        sel = ", ".join(
+            f"CAST(c{i} AS {_DUCK_TYPES[t]}) AS {cname}"
+            for i, (cname, t) in enumerate(cols)
+        )
+        branches = []
+        for br in e["branches"]:
+            if not br["rows"]:
+                continue
+            vals = ",\n".join(
+                "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in br["rows"]
+            )
+            guard = (
+                ""
+                if e["sf_independent"]
+                else f"\nWHERE (SELECT COUNT(*) FROM events) = {br['n_events']}"
+            )
+            branches.append(
+                f"SELECT {sel} FROM (VALUES\n{vals}) t({col_list}){guard}"
+            )
+        if branches:
+            out[name] = "\nUNION ALL\n".join(branches)
+    return out
+
+
 def oracle_sql_map() -> dict[str, str]:
     g2 = _grid_sql("x", 2)
     tile_union = "\nUNION ALL\n".join(
@@ -1039,7 +1119,7 @@ def oracle_sql_map() -> dict[str, str]:
         for r in range(4)
     )
 
-    return {
+    m = {
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1400,3 +1480,5 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.35
 """,
     }
+    m.update(pinned_oracle_map())
+    return m

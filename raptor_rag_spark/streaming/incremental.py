@@ -1,4 +1,15 @@
-"""Incremental / streaming ingestion of new pages."""
+"""Incremental / streaming ingestion of new pages, and affected-level
+tree maintenance (SURVEY §2.10: "append new pages -> re-run affected
+levels from checkpoints").
+
+The affected-level update exploits the quadkey prefix property: a
+node's adaptive cell (after cap-splitting) is always a DESCENDANT of
+its cell at the level's start resolution, so the start-res cell is a
+closed recomputation unit — the parents of a start-res cell depend
+only on the child nodes inside it. An append therefore recomputes, per
+level, ONLY the start-res cells that contain new/changed nodes; every
+other parent row is carried over untouched (pytest: touched cells <
+total cells AND result == from-scratch build)."""
 
 from __future__ import annotations
 
@@ -67,4 +78,153 @@ def stream_pages(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def append_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
+    """Append rows to an existing level checkpoint WITHOUT rewriting the
+    level (the 100 TB level-0 ingest path: old data files are immutable,
+    the append adds files, the manifest records the delta). Returns the
+    updated manifest."""
+    import json as _json
+    import time as _time
+
+    from raptor_rag_spark.operators.tree import (
+        _level_path,
+        _manifest_path,
+        read_manifest,
+    )
+
+    t0 = _time.time()
+    pinned = df.localCheckpoint(eager=True)  # count + write, one execution
+    delta_rows = pinned.count()
+    pinned.write.mode("append").parquet(_level_path(base, layer))
+    manifest = read_manifest(base, layer)
+    manifest["rows"] = int(manifest["rows"]) + int(delta_rows)
+    manifest.setdefault("appends", []).append(
+        {"rows": int(delta_rows), "lineage": lineage, "wall_sec": round(_time.time() - t0, 3)}
+    )
+    with open(_manifest_path(base, layer), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def incremental_update(
+    spark: SparkSession,
+    checkpoint_base: str,
+    new_leaves: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    start_resolution: int = 4,
+    max_layers: int = 8,
+    embed_dim: int | None = None,
+) -> DataFrame:
+    """Append ``new_leaves`` (node_id, text, n_tokens, embedding, x, y —
+    e.g. incremental_level0 output; node_ids must be fresh) to a
+    checkpointed tree and re-run ONLY the affected cells of each level.
+
+    Per level L (start resolution res_L = start_resolution - (L-1)):
+    1. affected = distinct res_L cells containing any changed child
+       node (new leaves at level 0; recomputed OR replaced parents at
+       higher levels — a vanished parent changes the next level too);
+    2. recompute build_level over ALL child nodes in affected cells
+       (closed under cap-splitting by the prefix property);
+    3. carry over every parent whose cell_id prefix is unaffected;
+    4. the changed-parent set becomes the next level's delta.
+
+    Level 0 is an APPEND (immutable data files + manifest delta);
+    levels >= 1 rewrite the level file with kept ∪ recomputed rows —
+    the summarize/embed work (the expensive part) runs only on affected
+    cells; at production scale the level files would be partitioned by
+    cell prefix so the rewrite too touches only affected partitions
+    (levels above 0 are already compression-ratio smaller than leaves).
+    Finishes with a resumed build_tree to extend the top if the append
+    pushed the top level back over min_level_nodes; returns the
+    collapsed node table. Result equals a from-scratch build over the
+    merged leaves (pytest-asserted).
+    """
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.tree import (
+        _level_path,
+        build_level,
+        build_tree,
+        last_complete_level,
+        write_level,
+    )
+    from raptor_rag_spark.operators.tile import tile
+
+    dim = embed_dim or cfg.embedding_dim
+    top = last_complete_level(checkpoint_base)
+    if top < 0:
+        raise ValueError(f"no complete levels under {checkpoint_base}; build first")
+
+    lvl0_delta = (
+        new_leaves.withColumn("layer", F.lit(0))
+        .withColumn("cell_id", F.lit(None).cast("string"))
+        .withColumn("children", F.array().cast("array<long>"))
+        .select(
+            "node_id", "layer", "cell_id", "text", "children", "n_tokens",
+            "embedding", "x", "y",
+        )
+    )
+    append_level(lvl0_delta, checkpoint_base, 0, {"input": "incremental append"})
+
+    # changed rows at the current child level: (node_id, x, y)
+    delta = lvl0_delta.select("node_id", "x", "y").localCheckpoint(eager=True)
+    for layer in range(1, top + 1):
+        res = max(start_resolution - (layer - 1), 0)
+        affected = (
+            tile(delta, res).select("cell_id").distinct()
+            .withColumnRenamed("cell_id", "_acell")
+            .localCheckpoint(eager=True)
+        )
+        n_affected = affected.count()
+        child = spark.read.parquet(_level_path(checkpoint_base, layer - 1))
+        child_in = (
+            tile(child, res)
+            .drop("ix", "iy")
+            .withColumnRenamed("cell_id", "_acell")
+            .drop("resolution")
+            .join(F.broadcast(affected), "_acell", "left_semi")
+            .drop("_acell")
+        )
+        recomputed = build_level(child_in, layer, res, cfg)
+        recomputed = embed_texts(recomputed, dim=dim)
+        recomputed = reduce_2d(recomputed, dim=dim, seed=cfg.seed).select(
+            "node_id", "layer", "cell_id", "text", "children", "n_tokens",
+            "embedding", "x", "y",
+        ).localCheckpoint(eager=True)
+        old = spark.read.parquet(_level_path(checkpoint_base, layer))
+        prefix = F.substring("cell_id", 1, res + 1)
+        kept = old.join(
+            F.broadcast(affected), prefix == F.col("_acell"), "left_anti"
+        )
+        replaced = old.join(
+            F.broadcast(affected), prefix == F.col("_acell"), "left_semi"
+        ).select("node_id", "x", "y").localCheckpoint(eager=True)
+        merged = kept.unionByName(recomputed).localCheckpoint(eager=True)
+        write_level(
+            merged,
+            checkpoint_base,
+            layer,
+            {
+                "input": "incremental",
+                "resolution": res,
+                "affected_cells": int(n_affected),
+                "recomputed_parents": int(recomputed.count()),
+                "replaced_parents": int(replaced.count()),
+            },
+        )
+        # both the new and the vanished/updated parents perturb level+1
+        delta = recomputed.select("node_id", "x", "y").unionByName(replaced)
+    # extend the top if the append pushed it back over min_level_nodes
+    return build_tree(
+        spark,
+        spark.read.parquet(_level_path(checkpoint_base, 0)),
+        checkpoint_base,
+        cfg,
+        start_resolution=start_resolution,
+        max_layers=max_layers,
+        embed_dim=dim,
+        resume=True,
     )

@@ -103,3 +103,43 @@ def test_node_ids_unique(spark, leaves, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("tree_ids"))
     nodes = build_tree(spark, leaves, base, CFG, start_resolution=3, embed_dim=32)
     assert nodes.count() == nodes.select("node_id").distinct().count()
+
+
+def test_incremental_update_matches_scratch(spark, leaves, tmp_path_factory):
+    """SURVEY §2.10: append new pages -> re-run AFFECTED levels only.
+    The incrementally maintained tree must equal a from-scratch build
+    over the merged leaves, while recomputing fewer cells than a full
+    level rebuild (manifest lineage proves it)."""
+    import json as _json
+
+    from raptor_rag_spark.operators.tile import reduce_2d
+    from raptor_rag_spark.streaming.incremental import incremental_update
+
+    base_inc = str(tmp_path_factory.mktemp("tree_inc"))
+    base_all = str(tmp_path_factory.mktemp("tree_all"))
+    old = leaves.filter(F.col("node_id") % 5 != 0)
+    new = leaves.filter(F.col("node_id") % 5 == 0)
+    build_tree(spark, old, base_inc, CFG, start_resolution=3, embed_dim=32)
+    new_xy = reduce_2d(new, dim=32, seed=CFG.seed)
+    got = incremental_update(
+        spark, base_inc, new_xy, CFG, start_resolution=3, embed_dim=32
+    )
+    want = build_tree(
+        spark, leaves, base_all, CFG, start_resolution=3, embed_dim=32, resume=False
+    )
+    cols = ["node_id", "layer", "cell_id", "text", "n_tokens"]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert g == w
+    gc = {r["node_id"]: sorted(r["children"]) for r in got.select("node_id", "children").collect()}
+    wc = {r["node_id"]: sorted(r["children"]) for r in want.select("node_id", "children").collect()}
+    assert gc == wc
+    # affected-only recompute: level 1 rebuilt fewer parents than exist
+    with open(os.path.join(base_inc, "level=1", "_MANIFEST.json")) as fh:
+        man = _json.load(fh)
+    assert man["lineage"]["input"] == "incremental"
+    assert 0 < man["lineage"]["recomputed_parents"] < man["rows"]
+    # level 0 was appended, not rewritten
+    with open(os.path.join(base_inc, "level=0", "_MANIFEST.json")) as fh:
+        man0 = _json.load(fh)
+    assert man0.get("appends") and man0["appends"][0]["rows"] > 0
