@@ -172,8 +172,13 @@ SCALE_MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "8"))
 SCALE_MIN_REPEATS = 3
 
 
-def run_scaling() -> dict:
-    """Back-to-back interleaved repeat pairs; min elapsed per size.
+def _adaptive_pair(
+    cores_pair: tuple[int, int],
+    docs: int,
+    max_repeats: int = SCALE_MAX_REPEATS,
+    min_repeats: int = SCALE_MIN_REPEATS,
+) -> dict[int, list[float]]:
+    """Adaptive interleaved repeat pairs; every raw run kept.
 
     Noise-floor estimator: co-tenant interference on this sandbox only
     ever ADDS time (observed up to ~2.5x on the wider-parallelism run,
@@ -181,32 +186,39 @@ def run_scaling() -> dict:
     repeats converges to the true runtime FROM ABOVE. A fixed repeat
     count can still land entirely inside one noisy window, so sampling
     is adaptive: keep running interleaved pairs until neither size's
-    min has improved by >2% for two consecutive pairs (>=3, <=8 pairs).
-    Every raw run is reported so the spread — and any pollution — is
-    visible in the artifact."""
-    runs: dict[int, list[float]] = {c: [] for c in SCALE_CORES}
-    docs = None
+    min has improved by >2% for two consecutive pairs."""
+    runs: dict[int, list[float]] = {c: [] for c in cores_pair}
     stale = 0
-    for rep in range(SCALE_MAX_REPEATS):
+    for rep in range(max_repeats):
         improved = False
-        for cores in SCALE_CORES:
+        for cores in cores_pair:
+            env = dict(os.environ, SPARK_GRAFT_SCALE_DOCS=str(docs))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
                 capture_output=True,
                 text=True,
                 timeout=1800,
+                env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
             prior_min = min(runs[cores]) if runs[cores] else None
             runs[cores].append(rec["elapsed"])
-            docs = rec["docs"]
             if prior_min is None or rec["elapsed"] < prior_min * 0.98:
                 improved = True
         stale = 0 if improved else stale + 1
-        if rep + 1 >= SCALE_MIN_REPEATS and stale >= 2:
+        if rep + 1 >= min_repeats and stale >= 2:
             break
+    return runs
+
+
+def run_scaling() -> dict:
+    """Two recorded pairs, BOTH under the same adaptive interleaved
+    estimator (round 2 ran the secondary at a fixed 3 repeats, which
+    could land inside one noisy window — the exact claim/artifact gap
+    the round-2 verdict flagged)."""
+    runs = _adaptive_pair(SCALE_CORES, SCALE_DOCS)
     small, large = SCALE_CORES
     t_small, t_large = min(runs[small]), min(runs[large])
     speedup = t_small / t_large
@@ -217,9 +229,9 @@ def run_scaling() -> dict:
         "elapsed_small_sec": round(t_small, 2),
         "elapsed_large_sec": round(t_large, 2),
         "all_runs_sec": {str(c): [round(v, 2) for v in runs[c]] for c in SCALE_CORES},
-        "docs": docs,
-        "docs_per_sec_small": round(docs / t_small, 2),
-        "docs_per_sec_large": round(docs / t_large, 2),
+        "docs": SCALE_DOCS,
+        "docs_per_sec_small": round(SCALE_DOCS / t_small, 2),
+        "docs_per_sec_large": round(SCALE_DOCS / t_large, 2),
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / factor, 3),
     }
@@ -227,17 +239,7 @@ def run_scaling() -> dict:
     # double the docs (wider parallelism; noisier on this shared VM)
     if os.environ.get("SPARK_GRAFT_SCALE_SECONDARY", "1") != "0":
         sec_docs = SCALE_DOCS * 2
-        sec: dict[int, list[float]] = {2: [], 8: []}
-        for _ in range(3):
-            for cores in (2, 8):
-                env = dict(os.environ, SPARK_GRAFT_SCALE_DOCS=str(sec_docs))
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-                    capture_output=True, text=True, timeout=1800, env=env,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-                line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-                sec[cores].append(json.loads(line)["elapsed"])
+        sec = _adaptive_pair((2, 8), sec_docs)
         sp = min(sec[2]) / min(sec[8])
         out["secondary_2v8"] = {
             "docs": sec_docs,
@@ -334,7 +336,7 @@ def main() -> None:
     timed("knn_recall_measure", _recall)
 
     queries = em.queries()
-    for name in (
+    curated = (
         "pricing_summary",
         "knn_brute",
         "knn_tiled",
@@ -363,8 +365,38 @@ def main() -> None:
         "minhash_sig",
         "catalog_snapshots",
         "approx_distinct",
-    ):
+    )
+    # curated order first (round-over-round comparability), then every
+    # remaining contract query — the whole 48-query surface is timed
+    rest = tuple(n for n in sorted(queries) if n not in curated)
+    for name in curated + rest:
         timed(name, lambda n=name: queries[n](spark, SF_DIR).count())
+
+    # flagship retrieval with the distributed (no-driver-collect)
+    # scoring path — the large-query-batch story; same candidates, the
+    # re-rank joins query embeddings instead of broadcasting them
+    def _knn_join_scoring():
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.operators.knn import tile_knn_adaptive
+
+        nodes, tiles = corpus["nodes"], corpus["tiles"]
+        q = (
+            nodes.orderBy("node_id")
+            .limit(1000)
+            .select(
+                F.col("node_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+                "x",
+                "y",
+            )
+        )
+        tile_knn_adaptive(
+            q, nodes.select("node_id", "embedding"), tiles, k=10, ring=3,
+            max_ring=8, scoring="join",
+        ).count()
+
+    timed("knn_tiled_1000q_join_scoring", _knn_join_scoring)
 
     total = round(time.time() - t_total0, 3)
     build_t = timings["build_pipeline"]

@@ -196,3 +196,33 @@ def test_minhash_jvm_signatures_estimate_jaccard(docs):
         set(_shingle_set(BASE_DOCS[0][1], 3)) | set(_shingle_set(DUPS[0][1], 3))
     )
     assert abs(est - true_j) < 0.25
+
+
+def test_word_shingles_udf_matches_jvm_expression(spark):
+    """The Arrow shingle kernel must emit byte-identical arrays to the
+    Catalyst word_shingles expression (the oracle-documented semantics)
+    — including whitespace-only, short-doc and None edge cases."""
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.dedup import make_word_shingles_udf, word_shingles
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "one two"),
+        (2, ""),
+        (3, "   \t\n  "),
+        (4, "Tabs\tand\nnewlines\x0bform FEED\f here"),
+        (5, "tek kelime"),
+        (6, None),
+        (7, "a  b   c    d"),
+        (8, "Ünïcödé İstanbul ŞĞıi words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        got = df.select(
+            "doc_id", make_word_shingles_udf(n)(F.col("text")).alias("s")
+        ).collect()
+        want = df.select("doc_id", word_shingles(F.col("text"), n).alias("s")).collect()
+        gm = {r["doc_id"]: r["s"] for r in got}
+        wm = {r["doc_id"]: r["s"] for r in want}
+        assert gm == wm, (n, gm, wm)
