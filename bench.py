@@ -177,6 +177,7 @@ def _adaptive_pair(
     docs: int,
     max_repeats: int = SCALE_MAX_REPEATS,
     min_repeats: int = SCALE_MIN_REPEATS,
+    stale_needed: int = 2,
 ) -> dict[int, list[float]]:
     """Adaptive interleaved repeat pairs; every raw run kept.
 
@@ -208,7 +209,7 @@ def _adaptive_pair(
             if prior_min is None or rec["elapsed"] < prior_min * 0.98:
                 improved = True
         stale = 0 if improved else stale + 1
-        if rep + 1 >= min_repeats and stale >= 2:
+        if rep + 1 >= min_repeats and stale >= stale_needed:
             break
     return runs
 
@@ -239,7 +240,11 @@ def run_scaling() -> dict:
     # double the docs (wider parallelism; noisier on this shared VM)
     if os.environ.get("SPARK_GRAFT_SCALE_SECONDARY", "1") != "0":
         sec_docs = SCALE_DOCS * 2
-        sec = _adaptive_pair((2, 8), sec_docs)
+        # the 8-core leg needs 8 simultaneously-free cores, so it sees
+        # ~2.5x co-tenant amplification — sample it harder (min 4 pairs,
+        # up to 10, stop only after 3 non-improving pairs) so its min
+        # actually converges before the ratio is recorded
+        sec = _adaptive_pair((2, 8), sec_docs, max_repeats=10, min_repeats=4, stale_needed=3)
         sp = min(sec[2]) / min(sec[8])
         out["secondary_2v8"] = {
             "docs": sec_docs,
