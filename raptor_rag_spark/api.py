@@ -78,6 +78,38 @@ class RaptorEngine:
             embed_dim=self.dim,
         ).cache()
 
+    def append_documents(self, docs, text_col: str = "text", id_col: str = "doc_id") -> None:
+        """Incremental ingest: append new documents to an EXISTING tree
+        and re-run only the affected cells of each level (SURVEY §2.10;
+        streaming/incremental.py:incremental_update — result equals a
+        from-scratch build over the merged corpus, pytest-asserted).
+        doc_ids must not collide with already-ingested ones; chunk ids
+        use the full-width hash scheme so any 64-bit doc_id is safe."""
+        from raptor_rag_spark.operators.tile import reduce_2d
+        from raptor_rag_spark.streaming.incremental import incremental_update
+
+        if self.nodes is None:
+            raise ValueError("no tree built — call add_documents first; "
+                             "append_documents only updates an existing tree")
+        if isinstance(docs, str):
+            docs = self.spark.createDataFrame(
+                [(0, docs)], f"{id_col} long, {text_col} string"
+            )
+        chunks = chunk_documents(
+            docs, id_col=id_col, text_col=text_col,
+            max_tokens=self.cfg.max_tokens, id_scheme="hash",
+        )
+        leaves = (
+            embed_texts(chunks, dim=self.dim)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "text", "n_tokens", "embedding")
+        )
+        leaves = reduce_2d(leaves, dim=self.dim, seed=self.cfg.seed)
+        self.nodes = incremental_update(
+            self.spark, self.base, leaves, self.cfg,
+            start_resolution=self.start_resolution, embed_dim=self.dim,
+        ).cache()
+
     def _load(self) -> None:
         self.nodes = build_tree(
             self.spark,

@@ -90,3 +90,35 @@ def test_engine_pipeline_utilities(spark, tmp_path):
     cat = eng.catalog(str(tmp_path / "cat"))
     t = cat.create_table("d", docs)
     assert t.read().count() == 3
+
+
+def test_append_documents_incremental(spark, tmp_path_factory):
+    """append_documents updates an existing tree in place (affected
+    cells only) and retrieval sees the new content."""
+    from raptor_rag_spark.datagen import synthetic_pages
+
+    base = str(tmp_path_factory.mktemp("api_tree_inc"))
+    eng = RaptorEngine(spark, base, CFG, embed_dim=32, start_resolution=3)
+    pages = synthetic_pages(spark, n=80, seed=42).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    eng.add_documents(pages.filter(F.col("doc_id") < 60))
+    n_leaves_before = eng.nodes.filter(F.col("layer") == 0).count()
+    eng.append_documents(pages.filter(F.col("doc_id") >= 60))
+    n_leaves_after = eng.nodes.filter(F.col("layer") == 0).count()
+    assert n_leaves_after > n_leaves_before
+    ctx = eng.retrieve(["data processing shuffle"], top_k=3, max_tokens=300)
+    assert 0 in ctx and len(ctx[0]) > 0
+    # the tree stays structurally sound: every non-leaf child resolves
+    parents = eng.nodes.filter(F.col("layer") > 0).select(
+        F.explode("children").alias("cid")
+    )
+    ids = eng.nodes.select(F.col("node_id").alias("cid"))
+    assert parents.join(ids, "cid", "left_anti").count() == 0
+
+
+def test_append_before_build_raises(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("api_tree_nope"))
+    eng = RaptorEngine(spark, base, CFG, embed_dim=32)
+    with pytest.raises(ValueError, match="append_documents"):
+        eng.append_documents("some new text")

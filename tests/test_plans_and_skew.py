@@ -283,3 +283,50 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_scoring_plan_has_no_broadcast_of_queries(spark):
+    """strategy='join' brute force: the plan must contain NO
+    BroadcastExchange and NO cartesian/nested-loop join — the only
+    exchanges are the hash partitioning into (query-block, node-block)
+    groups and the final top-k window sort."""
+    import numpy as np
+
+    from raptor_rag_spark.operators.knn import brute_force_knn
+
+    rng = np.random.RandomState(7)
+    mk = lambda m, pre: spark.createDataFrame(  # noqa: E731
+        [(i, [float(x) for x in v / np.linalg.norm(v)]) for i, v in enumerate(rng.randn(m, 8))],
+        f"{pre}_id long, {'q_embedding' if pre == 'query' else 'embedding'} array<float>",
+    )
+    out = brute_force_knn(mk(40, "query"), mk(200, "node"), k=3, strategy="join")
+    plan = _plan(out)
+    assert "BroadcastExchange" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # the block-pair matmul
+
+
+def test_score_candidates_join_plans_hash_join(spark):
+    """_score_candidates(strategy='join'): candidates join query
+    embeddings via a real equi-join (shuffle-hash or sort-merge — never
+    a driver collect, never a nested loop)."""
+    import numpy as np
+
+    from raptor_rag_spark.operators.knn import _score_candidates
+
+    rng = np.random.RandomState(7)
+    nodes = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(100)],
+        "node_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(10)],
+        "query_id long, q_embedding array<float>",
+    )
+    cand = queries.select("query_id").crossJoin(nodes.limit(5)).select(
+        "query_id", "node_id", "embedding"
+    )
+    out = _score_candidates(cand, queries, strategy="join")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan.replace("CartesianProduct", "", 1), plan  # only the test's own crossJoin
+    assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan), plan
