@@ -162,3 +162,44 @@ def test_windowed_agg_with_watermark_drops_late_rows(spark, tmp_path_factory):
     # both early windows finalized WITHOUT the late row (eid 5 dropped)
     assert got[w0] == (2, 3.0), got
     assert got[w0 + 60] == (1, 3.0), got
+
+
+def test_streamed_pages_feed_incremental_tree_update(spark, tmp_path_factory):
+    """The full §2.10 ingest story end-to-end: pages arrive via
+    Structured Streaming (stream_pages -> level-0 rows), then
+    incremental_update folds them into an existing checkpointed tree —
+    and the result equals a from-scratch build over the merged leaves."""
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.streaming.incremental import incremental_update
+
+    src = str(tmp_path_factory.mktemp("e2e_src"))
+    chk = str(tmp_path_factory.mktemp("e2e_chk"))
+    out = str(tmp_path_factory.mktemp("e2e_out"))
+    base = str(tmp_path_factory.mktemp("e2e_tree"))
+    base_all = str(tmp_path_factory.mktemp("e2e_tree_all"))
+
+    initial = synthetic_pages(spark, n=48, seed=11)
+    leaves0 = incremental_level0(initial)
+    build_tree(spark, leaves0, base, DEFAULT_CONFIG, start_resolution=3)
+
+    # 12 new pages arrive through the stream
+    synthetic_pages(spark, n=12, seed=12).withColumn(
+        "page_id", F.col("page_id") + 5000
+    ).write.mode("overwrite").parquet(src)
+    q = stream_pages(spark, src, chk, out)
+    q.awaitTermination(120)
+    new_leaves = spark.read.parquet(out)
+    assert new_leaves.count() > 0
+
+    got = incremental_update(spark, base, new_leaves, DEFAULT_CONFIG, start_resolution=3)
+
+    # from-scratch oracle over the merged leaves
+    want = build_tree(
+        spark, leaves0.unionByName(new_leaves), base_all, DEFAULT_CONFIG,
+        start_resolution=3, resume=False,
+    )
+    cols = ["node_id", "layer", "cell_id", "text", "n_tokens"]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert g == w
