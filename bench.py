@@ -282,6 +282,8 @@ def main() -> None:
 
     timed("build_pipeline", _build)
 
+    tree_holder: dict = {}
+
     def _tree_build():
         import tempfile
 
@@ -298,12 +300,44 @@ def main() -> None:
             .select("node_id", "text", "n_tokens", "embedding")
         )
         base = tempfile.mkdtemp(prefix="bench_tree_")
+        tree_holder["base"] = base
         build_tree(
             spark, leaves, base, EngineConfig(embedding_dim=DIM),
             start_resolution=4, max_layers=6, embed_dim=DIM,
         ).count()
 
     timed("tree_build_full", _tree_build)
+
+    def _incremental_append():
+        """Affected-level maintenance: append 1% new docs to the tree
+        just built — the §2.10 ingest cost vs tree_build_full's rebuild."""
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.config import EngineConfig
+        from raptor_rag_spark.operators.chunk import chunk_documents
+        from raptor_rag_spark.operators.embed import embed_texts
+        from raptor_rag_spark.operators.tile import reduce_2d
+        from raptor_rag_spark.streaming.incremental import incremental_update
+
+        cfg = EngineConfig(embedding_dim=DIM)
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 100 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        )
+        chunks = chunk_documents(docs, max_tokens=60)
+        leaves = (
+            embed_texts(chunks, dim=DIM)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "text", "n_tokens", "embedding")
+        )
+        leaves = reduce_2d(leaves, dim=DIM, seed=cfg.seed)
+        incremental_update(
+            spark, tree_holder["base"], leaves, cfg,
+            start_resolution=4, max_layers=6, embed_dim=DIM,
+        ).count()
+
+    timed("incremental_append_1pct", _incremental_append)
     corpus = {}
     timed("corpus_materialize", lambda: corpus.update(zip(("nodes", "tiles"), corpus_nodes(spark, SF_DIR))))
     timed("knn_tiled_200q", lambda: knn_flagship(spark, corpus["nodes"], corpus["tiles"], 200, 10))

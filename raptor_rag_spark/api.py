@@ -140,11 +140,15 @@ class RaptorEngine:
         method: str = "brute",
         return_layer_information: bool = False,
     ):
-        """Returns {query_id: context_string} (+ selected-node rows when
-        return_layer_information, mirroring the reference flag)."""
+        """str/list questions -> {query_id: context_string} (+ selected-
+        node rows when return_layer_information, mirroring the reference
+        flag). A DataFrame of questions -> the contexts DataFrame
+        (query_id, context), NOT collected: a 10^6-query batch stays
+        distributed end-to-end — write it to a table, don't dict it."""
         if self.nodes is None:
             raise ValueError("no tree built — call add_documents first "
                              "(reference raises the same way, RetrievalAugmentation.py:254)")
+        as_dataframe = isinstance(questions, DataFrame)
         q = self._query_df(questions)
         if collapse_tree:
             sel, ctx = retrieve_collapsed(
@@ -152,6 +156,8 @@ class RaptorEngine:
             )
         else:
             sel, ctx = retrieve_traversal(q, self.nodes, self.cfg, k=top_k)
+        if as_dataframe:
+            return (ctx, sel) if return_layer_information else ctx
         contexts = {r["query_id"]: r["context"] for r in ctx.collect()}
         if return_layer_information:
             return contexts, sel

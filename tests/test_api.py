@@ -122,3 +122,19 @@ def test_append_before_build_raises(spark, tmp_path_factory):
     eng = RaptorEngine(spark, base, CFG, embed_dim=32)
     with pytest.raises(ValueError, match="append_documents"):
         eng.append_documents("some new text")
+
+
+def test_retrieve_dataframe_in_dataframe_out(spark, built):
+    """A DataFrame of questions returns the contexts DataFrame without
+    collecting — the 10^6-query batch contract."""
+    import pyspark.sql
+
+    _, eng = built
+    qdf = spark.createDataFrame(
+        [(10, "berber dukkani"), (11, "data processing shuffle")],
+        "query_id long, text string",
+    )
+    out = eng.retrieve(qdf, top_k=3, max_tokens=300)
+    assert isinstance(out, pyspark.sql.DataFrame)
+    rows = {r["query_id"]: r["context"] for r in out.collect()}
+    assert set(rows) == {10, 11} and all(v.endswith("\n\n") for v in rows.values())
