@@ -443,6 +443,79 @@ def simhash_pairs(
     )
 
 
+SIMHASH_MAX_BLOCK_DF = 1000
+
+
+def simhash_pairs_jvm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_block_df: int = SIMHASH_MAX_BLOCK_DF,
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs over the pure-JVM 48-bit
+    simhash (textstats.simhash_signatures, md5-prefix hash) — the
+    oracle-able twin of simhash_pairs (whose FNV kernel DuckDB can't
+    reproduce). Pigeonhole: with ``blocks`` equal-width blocks, any
+    pair at hamming <= blocks-1 shares at least one block, so the
+    candidate join on (block_idx, block_val) is exhaustive for
+    max_hamming <= blocks-1. ``max_block_df`` caps hot buckets (e.g.
+    simhash 0 from empty docs) exactly like ngram max_df — the skew
+    guard that keeps the self-join from going quadratic on a 100 TB
+    corpus; the oracle mirrors the cap."""
+    from pyspark.sql.window import Window
+
+    from raptor_rag_spark.operators.textstats import SIMHASH_BITS, simhash_signatures
+
+    if max_hamming > blocks - 1:
+        raise ValueError("pigeonhole requires max_hamming <= blocks-1")
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    width = SIMHASH_BITS // blocks
+    mask = (1 << width) - 1
+    block_cols = [
+        F.struct(
+            F.lit(bi).alias("block_idx"),
+            F.shiftrightunsigned(F.col("simhash"), bi * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("block_val"),
+        )
+        for bi in range(blocks)
+    ]
+    blocked = (
+        sig.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash"),
+            F.explode(F.array(*block_cols)).alias("b"),
+        )
+        .select("id", "simhash", F.col("b.block_idx").alias("block_idx"),
+                F.col("b.block_val").alias("block_val"))
+        .withColumn(
+            "_c", F.count("*").over(Window.partitionBy("block_idx", "block_val"))
+        )
+        .filter(F.col("_c") <= max_block_df)
+        .drop("_c")
+    )
+    cand = (
+        blocked.alias("l")
+        .join(blocked.alias("r"), ["block_idx", "block_val"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ----------------------------------------------- embedding near-dup
 
 

@@ -223,3 +223,58 @@ def make_fingerprint_udf(window: int = 8):
             yield pd.Series(out, dtype="Int64")
 
     return fingerprint
+
+
+def top_terms(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(stratum, term, tf, rnk) — the k most frequent tokens per
+    stratum (term-frequency corpus profile, the first diagnostic a
+    training-data pipeline runs per language/source shard). Pure JVM:
+    tokens explode -> hash aggregate (map-side partial) -> per-stratum
+    WindowGroupLimit top-k; ties break on the term so the output is
+    deterministic and oracle-hashable."""
+    from pyspark.sql.window import Window
+
+    from raptor_rag_spark.tokenizer import TOKEN_PATTERN
+
+    toks = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("stratum", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("stratum").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("stratum", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 20,
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: keep a row iff
+    md5_prefix60(id) % 100 < the stratum's percentage. Reproducible
+    across runs/engines (no RNG state), embarrassingly parallel (a
+    per-row filter, pushes below shuffles), and portable to the DuckDB
+    oracle via the md5-prefix hash — the properties df.sample() lacks
+    (seeded per-partition RNG changes membership when partitioning
+    changes, which a 100 TB re-layout always does)."""
+    h = md5_prefix60(F.col(id_col).cast("string")) % 100
+    rate = None
+    for stratum, pct in (rates_pct or {}).items():
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate_col = rate.otherwise(default_pct) if rate is not None else F.lit(default_pct)
+    return df.filter(h < rate_col)

@@ -823,6 +823,73 @@ def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_sum(docs, ["lang"], sum_col="n_chars", salt=8)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the oracle-able 48-bit JVM simhash:
+    16 (=48/blocks... 12)-bit block pigeonhole candidate join + exact
+    popcount verify, hot buckets capped (max_block_df) — the pair
+    generator for hamming-style near-dup at corpus scale. The FNV-UDF
+    variant (dedup.simhash_pairs) stays as the no-shuffle kernel."""
+    from raptor_rag_spark.operators.dedup import simhash_pairs_jvm
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs_jvm(docs, max_hamming=3, blocks=4)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: blocking keys (exact-normalized-text md5 +
+    winnowing fingerprint) -> star edges per key (member -> key-min,
+    never all-pairs) -> distributed connected components (alternating
+    large-star/small-star, O(log n) rounds) -> (doc_id, cluster_id).
+    The keep-one-canonical-doc-per-cluster stage of the pipeline; the
+    DuckDB oracle computes the same transitive closure with a
+    recursive CTE."""
+    from raptor_rag_spark.operators.dedup import normalized_text
+    from raptor_rag_spark.operators.graph import connected_components
+    from raptor_rag_spark.operators.textstats import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id",
+        F.concat(F.lit("T:"), F.md5(normalized_text(F.col("text")))).alias("k"),
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("F:"), fingerprint_col(F.col("text")).cast("string")).alias("k"),
+        )
+    )
+    roots = keys.groupBy("k").agg(F.min("doc_id").alias("root"))
+    edges = (
+        keys.join(roots, "k")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+    )
+    return connected_components(
+        edges, vertices=docs.select("doc_id"), id_col="doc_id"
+    ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sample (20% of 'en', 50% of the
+    rest) — membership is a pure function of doc_id, so it is stable
+    under any re-partitioning (df.sample is not) and bit-reproducible
+    in the oracle."""
+    from raptor_rag_spark.operators.textstats import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, rates_pct={"en": 20}, default_pct=50
+    ).select("doc_id", "lang")
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language (term-frequency corpus profile).
+    Explode -> partial-agg count -> WindowGroupLimit top-k."""
+    from raptor_rag_spark.operators.textstats import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, stratum_col="lang", text_col="text", k=5)
+
+
 # ====================================================================
 # Registry
 # ====================================================================
@@ -863,6 +930,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_snapshots": q_catalog_snapshots,
     "global_topn": q_global_topn,
     "range_join": q_range_join,
+    "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
+    "top_terms": q_top_terms,
     # rows-only: HLL sketch values are engine-specific
     "approx_distinct": q_approx_distinct,
     "raster_vectorize": q_raster_vectorize,
@@ -1034,7 +1105,27 @@ WHERE ROUND(n_common * 1.0 / (sz_a + sz_b - n_common), 6) >= {threshold}
 """
 
 
-def _simhash_sql(bits: int = 48) -> str:
+def _top_terms_sql(k: int = 5) -> str:
+    from raptor_rag_spark.tokenizer import TOKEN_PATTERN
+
+    return f"""
+WITH t AS (
+  SELECT lang AS stratum, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+), tf AS (
+  SELECT stratum, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY stratum, term
+), r AS (
+  SELECT stratum, term, tf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY tf DESC, term ASC) AS INT) AS rnk
+  FROM tf
+)
+SELECT stratum, term, tf, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def _simhash_ctes(bits: int = 48) -> str:
+    """CTE chain ending in sigs(doc_id, simhash) — shared by the
+    simhash_sig and simhash_pairs oracles."""
     from raptor_rag_spark.tokenizer import TOKEN_PATTERN
 
     bit_sums = ", ".join(
@@ -1044,8 +1135,7 @@ def _simhash_sql(bits: int = 48) -> str:
         f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(bits)
     )
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok
   FROM documents
 ), h AS (
@@ -1054,9 +1144,81 @@ WITH t AS (
   SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
 ), packed AS (
   SELECT doc_id, {packed} AS s FROM acc
+), sigs AS (
+  SELECT d.doc_id, CAST(COALESCE(p.s, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+)"""
+
+
+def _simhash_sql(bits: int = 48) -> str:
+    return f"WITH {_simhash_ctes(bits)}\nSELECT doc_id, simhash FROM sigs"
+
+
+def _simhash_pairs_sql(
+    bits: int = 48, blocks: int = 4, max_hamming: int = 3, max_block_df: int = 1000
+) -> str:
+    """Mirrors dedup.simhash_pairs_jvm: block pigeonhole candidates
+    (hot buckets capped) + exact popcount verify."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    vals = ", ".join(f"({bi})" for bi in range(blocks))
+    return f"""
+WITH {_simhash_ctes(bits)},
+blocked AS (
+  SELECT doc_id, simhash, b.bi AS block_idx,
+         (simhash >> (b.bi * {width})) & {mask} AS block_val
+  FROM sigs, (VALUES {vals}) b(bi)
+), capped AS (
+  SELECT doc_id, simhash, block_idx, block_val FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY block_idx, block_val) AS c FROM blocked
+  ) WHERE c <= {max_block_df}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM capped l JOIN capped r
+    ON l.block_idx = r.block_idx AND l.block_val = r.block_val
+   AND l.doc_id < r.doc_id
 )
-SELECT d.doc_id, CAST(COALESCE(p.s, 0) AS BIGINT) AS simhash
-FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _dedup_clusters_sql(window: int = 8) -> str:
+    """Mirrors q_dedup_clusters: blocking keys (norm-text md5 +
+    winnowing fingerprint) -> star edges per key -> transitive closure
+    (recursive CTE; min reachable id = the component minimum, exactly
+    what large-star/small-star converges to)."""
+    parts = ", ".join(f"words[i+{j}]" for j in range(window))
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS words
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(words) = 0 THEN 0 ELSE
+           list_min(list_transform(range(1, greatest(len(words) - {window - 1}, 1) + 1),
+             i -> CAST(concat('0x', substr(md5(concat_ws(' ', {parts})), 1, 15)) AS BIGINT)))
+         END AS BIGINT) AS fingerprint
+  FROM w
+), keys AS (
+  SELECT doc_id, concat('T:', md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k
+  FROM documents
+  UNION ALL
+  SELECT doc_id, concat('F:', CAST(fingerprint AS VARCHAR)) AS k FROM fp
+), e0 AS (
+  SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY k) AS dst FROM keys
+), edges AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst
+), reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -1232,6 +1394,14 @@ FROM m
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
         "simhash_sig": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+""",
+        "top_terms": _top_terms_sql(),
         "minhash_sig": _minhash_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "tile_assign": f"WITH {XY_CTE}\n{tile_union}",
