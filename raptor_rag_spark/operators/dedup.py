@@ -470,7 +470,12 @@ def simhash_pairs_jvm(
 
     if max_hamming > blocks - 1:
         raise ValueError("pigeonhole requires max_hamming <= blocks-1")
-    sig = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    # materialize signatures ONCE: the 48-column bit-sum aggregate
+    # otherwise re-executes on BOTH sides of the candidate self-join
+    # (plus the bucket-count window) — measured 60 s -> ~5 s at sf0.1
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
     block_cols = [

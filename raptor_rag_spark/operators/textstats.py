@@ -132,8 +132,13 @@ def fingerprint_col(col: Column, window: int = 8) -> Column:
             " ", *[F.get(words, (i + j).cast("int")) for j in range(window)]
         ),
     )
-    return F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(
-        F.array_min(F.transform(shingles, md5_prefix60))
+    # explicit NULL propagation: without the isNotNull guard, NULL text
+    # flows through get->concat_ws (which SKIPS nulls) into md5("") — a
+    # value the DuckDB oracle (NULL-propagating list ops) can't produce
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(F.size(words) == 0, F.lit(0).cast("long")).otherwise(
+            F.array_min(F.transform(shingles, md5_prefix60))
+        )
     )
 
 
@@ -174,6 +179,46 @@ def simhash_signatures(
     acc = acc.select(F.col(id_col), sig.alias("simhash"))
     # docs with zero tokens have no exploded rows: join back, simhash 0
     return df.select(id_col).join(acc, id_col, "left").fillna({"simhash": 0})
+
+
+def make_md5_fingerprint_udf(window: int = 8):
+    """Arrow twin of :func:`fingerprint_col` — same output bytes
+    (md5-prefix60 winnowing), ~10x faster: the Catalyst transform/F.get
+    expression is INTERPRETED (measured ~28 s for 5000 docs at sf0.1;
+    hashlib's C md5 does the same in ~2 s). Mirrors words_col exactly:
+    lower, split on the explicit whitespace class, drop empties."""
+    import hashlib
+    import re
+
+    ws_run = re.compile(WS_SPLIT)
+
+    @F.pandas_udf(T.LongType())
+    def fp(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            out: list = []
+            for t in series:
+                if t is None:
+                    out.append(None)
+                    continue
+                ws = [w for w in ws_run.split(t.lower()) if w != ""]
+                if not ws:
+                    out.append(0)
+                    continue
+                k = max(len(ws) - (window - 1), 1)
+                out.append(
+                    min(
+                        int(
+                            hashlib.md5(
+                                " ".join(ws[i : i + window]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(k)
+                    )
+                )
+            yield pd.Series(out, dtype="Int64")
+
+    return fp
 
 
 def make_fingerprint_udf(window: int = 8):

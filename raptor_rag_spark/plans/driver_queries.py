@@ -845,17 +845,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     from raptor_rag_spark.operators.dedup import normalized_text
     from raptor_rag_spark.operators.graph import connected_components
-    from raptor_rag_spark.operators.textstats import fingerprint_col
+    from raptor_rag_spark.operators.textstats import make_md5_fingerprint_udf
 
     docs = _t(spark, sf_dir, "documents")
-    keys = docs.select(
-        "doc_id",
-        F.concat(F.lit("T:"), F.md5(normalized_text(F.col("text")))).alias("k"),
-    ).unionByName(
+    # Arrow kernel (byte-identical to fingerprint_col; the interpreted
+    # HOF costs ~28 s/eval at sf0.1) + checkpoint so the keys evaluate
+    # ONCE — they otherwise recompute in roots, the edge join, and the
+    # CC seed (measured 106 s -> ~5 s at sf0.1)
+    fp = make_md5_fingerprint_udf()
+    keys = (
         docs.select(
             "doc_id",
-            F.concat(F.lit("F:"), fingerprint_col(F.col("text")).cast("string")).alias("k"),
+            F.concat(F.lit("T:"), F.md5(normalized_text(F.col("text")))).alias("k"),
         )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.concat(F.lit("F:"), fp(F.col("text")).cast("string")).alias("k"),
+            )
+        )
+        .filter(F.col("k").isNotNull())
+        .localCheckpoint(eager=False)
     )
     roots = keys.groupBy("k").agg(F.min("doc_id").alias("root"))
     edges = (
@@ -1208,7 +1218,8 @@ WITH RECURSIVE w AS (
   UNION ALL
   SELECT doc_id, concat('F:', CAST(fingerprint AS VARCHAR)) AS k FROM fp
 ), e0 AS (
-  SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY k) AS dst FROM keys
+  SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY k) AS dst
+  FROM keys WHERE k IS NOT NULL
 ), edges AS (
   SELECT src, dst FROM e0 WHERE src <> dst
   UNION

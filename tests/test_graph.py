@@ -132,3 +132,29 @@ def test_top_terms_shape_and_ties(spark):
     assert got[("en", 2)] == ("a", 2)
     assert got[("de", 1)] == ("y", 2)
     assert got[("de", 2)] == ("x", 1)
+
+
+def test_md5_fingerprint_udf_matches_jvm_expression(spark):
+    from raptor_rag_spark.operators.textstats import (
+        fingerprint_col,
+        make_md5_fingerprint_udf,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and more words here"),
+        (1, "short doc"),
+        (2, ""),
+        (3, None),
+        (4, "tab\tand\x0bvertical\ttab  runs\n\nnewlines"),
+        (5, "Ünïcode CASE Müst Löwer the säme"),
+        (6, "exactly eight words in this doc here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = make_md5_fingerprint_udf()
+    got = df.select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("jvm"),
+        fp(F.col("text")).alias("arrow"),
+    ).collect()
+    for r in got:
+        assert r["jvm"] == r["arrow"], (r["doc_id"], r["jvm"], r["arrow"])
