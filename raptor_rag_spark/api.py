@@ -197,6 +197,44 @@ class RaptorEngine:
             raise ValueError(f"unknown dedup method {method!r} (have {sorted(fns)})")
         return fns[method](docs, **kw)
 
+    def cluster_duplicates(
+        self,
+        docs: DataFrame,
+        pairs: DataFrame | None = None,
+        method: str = "simhash",
+        id_col: str = "doc_id",
+        **kw,
+    ) -> DataFrame:
+        """The complete dedup story: near-dup PAIRS -> distributed
+        connected components -> (doc_id, cluster_id, keep), where
+        ``keep`` marks the cluster's canonical (min-id) survivor.
+
+        ``pairs`` defaults to ``dedup_documents(docs, method, **kw)``
+        (any pair method: 'ngram' / 'minhash' / 'simhash' /
+        'embedding'); pass a precomputed (id_a, id_b, ...) DataFrame to
+        reuse candidates. Clustering is alternating large-star/
+        small-star (operators/graph.py) — O(log n) rounds regardless of
+        chain length, so transitive near-dup chains (A~B~C~...) don't
+        serialize the driver at corpus scale."""
+        from raptor_rag_spark.operators.graph import connected_components
+
+        if pairs is None:
+            if method == "exact":
+                raise ValueError(
+                    "method='exact' already returns survivors — use "
+                    "dedup_documents(docs, 'exact'); cluster_duplicates is "
+                    "for pair-producing methods"
+                )
+            pairs = self.dedup_documents(docs, method=method, **kw)
+        labels = connected_components(
+            pairs.select("id_a", "id_b"),
+            vertices=docs.select(id_col),
+            src="id_a",
+            dst="id_b",
+            id_col=id_col,
+        )
+        return labels.withColumn("keep", F.col("cluster_id") == F.col(id_col))
+
     def ann_index(self, nodes: DataFrame | None = None, **kw):
         """Multi-projection adaptive-quadtree ANN index over the built
         tree's nodes (or any (node_id, embedding) DataFrame)."""

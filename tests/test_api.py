@@ -138,3 +138,32 @@ def test_retrieve_dataframe_in_dataframe_out(spark, built):
     assert isinstance(out, pyspark.sql.DataFrame)
     rows = {r["query_id"]: r["context"] for r in out.collect()}
     assert set(rows) == {10, 11} and all(v.endswith("\n\n") for v in rows.values())
+
+
+def test_cluster_duplicates_end_to_end(spark, tmp_path_factory):
+    from raptor_rag_spark.api import RaptorEngine
+
+    eng = RaptorEngine(spark, str(tmp_path_factory.mktemp("cd")))
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank today and tomorrow morning"),
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today and tomorrow morning the dog"),
+            (2, "completely unrelated text about catalyst plans shuffle exchange partitioning statistics costs"),
+            (3, "the quick brown fox jumps over the lazy dog near the river bank today and tomorrow morning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           eng.cluster_duplicates(docs, method="simhash").collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[3] == (0, False)
+    assert out[2] == (2, True)
+    # precomputed pairs path
+    pairs = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    out2 = {r["doc_id"]: r["cluster_id"] for r in
+            eng.cluster_duplicates(docs, pairs=pairs).collect()}
+    assert out2 == {0: 0, 1: 1, 2: 2, 3: 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.cluster_duplicates(docs, method="exact")
