@@ -205,16 +205,61 @@ def _level_path(base: str, layer: int) -> str:
     return os.path.join(base, f"level={layer}", "nodes.parquet")
 
 
-def write_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
+def write_level(
+    df: DataFrame,
+    base: str,
+    layer: int,
+    lineage: dict,
+    partition_prefix_len: int | None = None,
+) -> dict:
     """Atomic level checkpoint: parquet + manifest with per-partition
     row counts, lineage and timings. The manifest is written AFTER the
-    parquet commit — its presence marks the level complete."""
+    parquet commit — its presence marks the level complete.
+
+    ``partition_prefix_len``: physically partition the level by the
+    first N quadkey digits of cell_id (``cell_pfx=...`` dirs). N =
+    level_resolution+1 makes each start-resolution cell its own
+    partition — exactly the closed recompute unit of incremental
+    maintenance, so an append overwrites ONLY affected partitions
+    (dynamic partition overwrite) instead of rewriting the level."""
     t0 = time.time()
     path = _level_path(base, layer)
-    df.write.mode("overwrite").parquet(path)
-    spark = df.sparkSession
+    if partition_prefix_len and "cell_id" in df.columns:
+        (
+            df.withColumn(
+                "cell_pfx",
+                F.coalesce(
+                    F.substring("cell_id", 1, partition_prefix_len), F.lit("_")
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell_pfx")
+            .parquet(path)
+        )
+    else:
+        partition_prefix_len = None
+        df.write.mode("overwrite").parquet(path)
+    return refresh_manifest(
+        df.sparkSession, base, layer, lineage, partition_prefix_len, t0=t0
+    )
+
+
+def refresh_manifest(
+    spark: SparkSession,
+    base: str,
+    layer: int,
+    lineage: dict,
+    partition_prefix_len: int | None = None,
+    t0: float | None = None,
+) -> dict:
+    """(Re)write a level's manifest from what is on storage — used
+    after a full write_level AND after an in-place partial write
+    (dynamic partition overwrite in incremental maintenance). The
+    recount is a count-only parquet scan; at production scale the row
+    counts would instead update arithmetically from the write's delta."""
+    t0 = time.time() if t0 is None else t0
     per_part = (
-        spark.read.parquet(path)
+        spark.read.parquet(_level_path(base, layer))
         .withColumn("_p", F.spark_partition_id())
         .groupBy("_p")
         .agg(F.count("*").alias("rows"))
@@ -224,6 +269,7 @@ def write_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
         "layer": layer,
         "rows": int(sum(r["rows"] for r in per_part)),
         "partitions": {str(r["_p"]): int(r["rows"]) for r in per_part},
+        "partition_prefix_len": partition_prefix_len,
         "lineage": lineage,
         "wall_sec": round(time.time() - t0, 3),
         "written_at_epoch": int(time.time()),
@@ -231,6 +277,14 @@ def write_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
     with open(_manifest_path(base, layer), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def read_level(spark: SparkSession, base: str, layer: int) -> DataFrame:
+    """Level checkpoint reader: drops the physical partition column
+    (cell_pfx) when the level was written prefix-partitioned, so every
+    consumer sees the same logical schema regardless of layout."""
+    df = spark.read.parquet(_level_path(base, layer))
+    return df.drop("cell_pfx") if "cell_pfx" in df.columns else df
 
 
 def read_manifest(base: str, layer: int) -> dict:
@@ -291,7 +345,7 @@ def build_tree(
     while layer < max_layers:
         if n_current <= cfg.min_level_nodes:
             break
-        current = spark.read.parquet(_level_path(checkpoint_base, layer))
+        current = read_level(spark, checkpoint_base, layer)
         res = max(start_resolution - layer, 0)
         parents = build_level(current, layer + 1, res, cfg)
         parents = embed_texts(parents, dim=dim)
@@ -304,6 +358,7 @@ def build_tree(
             checkpoint_base,
             layer + 1,
             {"input": _level_path(checkpoint_base, layer), "resolution": res},
+            partition_prefix_len=res + 1,
         )
         n_parents = manifest["rows"]
         if n_parents >= n_current:
@@ -320,7 +375,7 @@ def build_tree(
     levels = []
     lvl = 0
     while os.path.exists(_manifest_path(checkpoint_base, lvl)):
-        levels.append(spark.read.parquet(_level_path(checkpoint_base, lvl)))
+        levels.append(read_level(spark, checkpoint_base, lvl))
         lvl += 1
     out = levels[0]
     for more in levels[1:]:

@@ -469,12 +469,18 @@ def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint, pure JVM md5-prefix variant (oracle-able;
-    the FNV kernel make_fingerprint_udf stays as the pluggable seam)."""
-    from raptor_rag_spark.operators.textstats import fingerprint_col
+    """Winnowing fingerprint (md5-prefix60), Arrow kernel — byte-
+    identical to the JVM expression fingerprint_col (equality pytest)
+    but ~10x faster: Catalyst evaluates transform/F.get INTERPRETED
+    (~23 s for 5000 docs at sf0.1 vs ~2 s here). The oracle validates
+    the kernel directly; fingerprint_col remains the documented
+    reference semantics; make_fingerprint_udf (FNV) the pluggable
+    hash seam."""
+    from raptor_rag_spark.operators.textstats import make_md5_fingerprint_udf
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+    fp = make_md5_fingerprint_udf()
+    return docs.select("doc_id", fp(F.col("text")).alias("fingerprint"))
 
 
 def q_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,6 +149,9 @@ def incremental_update(
         build_level,
         build_tree,
         last_complete_level,
+        read_level,
+        read_manifest,
+        refresh_manifest,
         write_level,
     )
     from raptor_rag_spark.operators.tile import tile
@@ -179,7 +182,7 @@ def incremental_update(
             .localCheckpoint(eager=True)
         )
         n_affected = affected.count()
-        child = spark.read.parquet(_level_path(checkpoint_base, layer - 1))
+        child = read_level(spark, checkpoint_base, layer - 1)
         child_in = (
             tile(child, res)
             .drop("ix", "iy")
@@ -194,33 +197,57 @@ def incremental_update(
             "node_id", "layer", "cell_id", "text", "children", "n_tokens",
             "embedding", "x", "y",
         ).localCheckpoint(eager=True)
-        old = spark.read.parquet(_level_path(checkpoint_base, layer))
+        old = read_level(spark, checkpoint_base, layer)
         prefix = F.substring("cell_id", 1, res + 1)
-        kept = old.join(
-            F.broadcast(affected), prefix == F.col("_acell"), "left_anti"
-        )
         replaced = old.join(
             F.broadcast(affected), prefix == F.col("_acell"), "left_semi"
         ).select("node_id", "x", "y").localCheckpoint(eager=True)
-        merged = kept.unionByName(recomputed).localCheckpoint(eager=True)
-        write_level(
-            merged,
-            checkpoint_base,
-            layer,
-            {
-                "input": "incremental",
-                "resolution": res,
-                "affected_cells": int(n_affected),
-                "recomputed_parents": int(recomputed.count()),
-                "replaced_parents": int(replaced.count()),
-            },
-        )
+        pfx_len = read_manifest(checkpoint_base, layer).get("partition_prefix_len")
+        lineage = {
+            "input": "incremental",
+            "resolution": res,
+            "affected_cells": int(n_affected),
+            "recomputed_parents": int(recomputed.count()),
+            "replaced_parents": int(replaced.count()),
+        }
+        if pfx_len == res + 1:
+            # prefix-partitioned level: affected start-res cells ARE
+            # partitions — dynamic partition overwrite rewrites ONLY
+            # those directories; kept rows are never read or written
+            # (the 100 TB maintenance path). `replaced` is pinned above
+            # because it reads the same files being overwritten.
+            lineage["write"] = "dynamic-partition-overwrite"
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    recomputed.withColumn(
+                        "cell_pfx", F.substring("cell_id", 1, res + 1)
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("cell_pfx")
+                    .parquet(_level_path(checkpoint_base, layer))
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            refresh_manifest(spark, checkpoint_base, layer, lineage, pfx_len)
+        else:
+            kept = old.join(
+                F.broadcast(affected), prefix == F.col("_acell"), "left_anti"
+            )
+            merged = kept.unionByName(recomputed).localCheckpoint(eager=True)
+            write_level(
+                merged, checkpoint_base, layer, lineage,
+                partition_prefix_len=pfx_len,
+            )
         # both the new and the vanished/updated parents perturb level+1
         delta = recomputed.select("node_id", "x", "y").unionByName(replaced)
     # extend the top if the append pushed it back over min_level_nodes
     return build_tree(
         spark,
-        spark.read.parquet(_level_path(checkpoint_base, 0)),
+        read_level(spark, checkpoint_base, 0),
         checkpoint_base,
         cfg,
         start_resolution=start_resolution,

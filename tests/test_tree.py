@@ -143,3 +143,47 @@ def test_incremental_update_matches_scratch(spark, leaves, tmp_path_factory):
     with open(os.path.join(base_inc, "level=0", "_MANIFEST.json")) as fh:
         man0 = _json.load(fh)
     assert man0.get("appends") and man0["appends"][0]["rows"] > 0
+
+
+def test_incremental_partial_partition_overwrite(spark, leaves, tmp_path_factory):
+    """Prefix-partitioned levels + dynamic partition overwrite: an
+    append must physically rewrite ONLY the affected cell_pfx
+    directories — untouched partitions keep the same files (same
+    names, sizes, mtimes). This is the 100 TB maintenance invariant:
+    kept rows are never read or written."""
+    import glob
+
+    from raptor_rag_spark.operators.tile import reduce_2d
+    from raptor_rag_spark.streaming.incremental import incremental_update
+
+    base = str(tmp_path_factory.mktemp("tree_ppo"))
+    old = leaves.filter(F.col("node_id") % 5 != 0)
+    new = leaves.filter(F.col("node_id") % 5 == 0).limit(3)
+    build_tree(spark, old, base, CFG, start_resolution=3, embed_dim=32)
+
+    def snapshot(level):
+        out = {}
+        for d in glob.glob(
+            os.path.join(base, f"level={level}", "nodes.parquet", "cell_pfx=*")
+        ):
+            out[os.path.basename(d)] = {
+                os.path.basename(f): (os.path.getsize(f), os.path.getmtime(f))
+                for f in glob.glob(os.path.join(d, "*.parquet"))
+            }
+        return out
+
+    assert snapshot(1), "level 1 should be prefix-partitioned"
+    before = snapshot(1)
+    new_xy = reduce_2d(new, dim=32, seed=CFG.seed)
+    incremental_update(spark, base, new_xy, CFG, start_resolution=3, embed_dim=32)
+    after = snapshot(1)
+    untouched = [p for p in before if after.get(p) == before[p]]
+    changed = [p for p in after if after[p] != before.get(p)]
+    assert changed, "the append must touch at least one partition"
+    assert untouched, "some partition must be carried over physically"
+    # manifest records the dynamic-overwrite path
+    import json as _json
+
+    with open(os.path.join(base, "level=1", "_MANIFEST.json")) as fh:
+        man = _json.load(fh)
+    assert man["lineage"].get("write") == "dynamic-partition-overwrite"
