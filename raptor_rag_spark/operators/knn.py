@@ -122,8 +122,14 @@ def _brute_force_knn_join(
 
     spark = nodes.sparkSession
     par = spark.sparkContext.defaultParallelism
-    qb = int(n_query_blocks) if n_query_blocks else max(2, int(par ** 0.5))
-    nb = int(n_node_blocks) if n_node_blocks else max(2, int(par ** 0.5))
+    # qb*nb ~ 2*parallelism: measured 5.2 s vs 24.2 s (120k q x 5k nodes,
+    # 32 cores) for sqrt(2*par) vs sqrt(par) blocks — one wave of
+    # par-ish groups straggles on the skewiest block pair, two waves of
+    # smaller groups load-balance; shuffle volume grows only as
+    # sqrt(par) * (|Q| + |N|)
+    default_b = max(2, int((2 * par) ** 0.5))
+    qb = int(n_query_blocks) if n_query_blocks else default_b
+    nb = int(n_node_blocks) if n_node_blocks else default_b
 
     qrep = (
         queries.select(
