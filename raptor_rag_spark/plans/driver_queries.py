@@ -224,8 +224,13 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow lang-id kernel (integer-exact twin of the lang_id JVM
+    expression, equality pytest) — the HOF chain is interpreted."""
+    from raptor_rag_spark.operators.textstats import make_lang_id_udf
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    lid = make_lang_id_udf()
+    return docs.select("doc_id", lid(F.col("text")).alias("lang_pred"))
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,3 +158,25 @@ def test_md5_fingerprint_udf_matches_jvm_expression(spark):
     ).collect()
     for r in got:
         assert r["jvm"] == r["arrow"], (r["doc_id"], r["jvm"], r["arrow"])
+
+
+def test_lang_id_udf_matches_jvm_expression(spark):
+    from raptor_rag_spark.operators.textstats import lang_id, make_lang_id_udf
+
+    rows = [
+        (0, "the cat and the dog of it is that"),
+        (1, "der hund ist nicht ein tier mit der katze"),
+        (2, "no stop words whatsoever xyz qqq"),
+        (3, ""),
+        (4, None),
+        (5, "de de de la la el"),          # es/fr tie material
+        (6, "la de que un la de"),         # shared es/fr stopwords
+        (7, "ve bir bu da ne"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lid = make_lang_id_udf()
+    got = df.select(
+        "doc_id", lang_id(F.col("text")).alias("jvm"), lid(F.col("text")).alias("arrow")
+    ).collect()
+    for r in got:
+        assert r["jvm"] == r["arrow"], (r["doc_id"], r["jvm"], r["arrow"])
