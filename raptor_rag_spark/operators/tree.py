@@ -252,28 +252,69 @@ def refresh_manifest(
     partition_prefix_len: int | None = None,
     t0: float | None = None,
 ) -> dict:
-    """(Re)write a level's manifest from what is on storage — used
-    after a full write_level AND after an in-place partial write
-    (dynamic partition overwrite in incremental maintenance). The
-    recount is a count-only parquet scan; at production scale the row
-    counts would instead update arithmetically from the write's delta."""
+    """(Re)write a level's manifest from what is on storage (one
+    count-only parquet scan). Prefix-partitioned levels key the
+    per-partition counts by cell_pfx (the physical partition), so
+    incremental maintenance can later update them ARITHMETICALLY from
+    the write delta (update_manifest_delta) without rescanning."""
     t0 = time.time() if t0 is None else t0
+    df = spark.read.parquet(_level_path(base, layer))
+    key = (
+        F.col("cell_pfx")
+        if partition_prefix_len and "cell_pfx" in df.columns
+        else F.spark_partition_id()
+    )
     per_part = (
-        spark.read.parquet(_level_path(base, layer))
-        .withColumn("_p", F.spark_partition_id())
-        .groupBy("_p")
-        .agg(F.count("*").alias("rows"))
-        .collect()
+        df.withColumn("_p", key).groupBy("_p").agg(F.count("*").alias("rows")).collect()
     )
     manifest = {
         "layer": layer,
         "rows": int(sum(r["rows"] for r in per_part)),
         "partitions": {str(r["_p"]): int(r["rows"]) for r in per_part},
+        "partitions_by": "cell_pfx" if partition_prefix_len else "partition_id",
         "partition_prefix_len": partition_prefix_len,
         "lineage": lineage,
         "wall_sec": round(time.time() - t0, 3),
         "written_at_epoch": int(time.time()),
     }
+    with open(_manifest_path(base, layer), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def update_manifest_delta(
+    base: str,
+    layer: int,
+    replaced_counts: dict[str, int] | list[str],
+    recomputed_counts: dict[str, int],
+    lineage: dict,
+    t0: float | None = None,
+) -> dict:
+    """Arithmetic manifest update after a dynamic-partition-overwrite:
+    drop the affected cell_pfx entries, insert the recomputed counts,
+    re-derive the row total — NO storage scan (the 100 TB path: an
+    append's manifest cost is O(affected partitions), not O(level)).
+    Requires a manifest with partitions keyed by cell_pfx."""
+    t0 = time.time() if t0 is None else t0
+    manifest = read_manifest(base, layer)
+    if manifest.get("partitions_by") != "cell_pfx":
+        raise ValueError(
+            f"level {layer} manifest partitions keyed by "
+            f"{manifest.get('partitions_by')!r}, need 'cell_pfx'"
+        )
+    parts = dict(manifest["partitions"])
+    for pfx in replaced_counts:
+        parts.pop(pfx, None)
+    parts.update({k: int(v) for k, v in recomputed_counts.items()})
+    manifest.update(
+        {
+            "rows": int(sum(parts.values())),
+            "partitions": parts,
+            "lineage": lineage,
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at_epoch": int(time.time()),
+        }
+    )
     with open(_manifest_path(base, layer), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

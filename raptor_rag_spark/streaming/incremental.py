@@ -152,6 +152,7 @@ def incremental_update(
         read_level,
         read_manifest,
         refresh_manifest,
+        update_manifest_delta,
         write_level,
     )
     from raptor_rag_spark.operators.tile import tile
@@ -202,7 +203,8 @@ def incremental_update(
         replaced = old.join(
             F.broadcast(affected), prefix == F.col("_acell"), "left_semi"
         ).select("node_id", "x", "y").localCheckpoint(eager=True)
-        pfx_len = read_manifest(checkpoint_base, layer).get("partition_prefix_len")
+        old_manifest = read_manifest(checkpoint_base, layer)
+        pfx_len = old_manifest.get("partition_prefix_len")
         lineage = {
             "input": "incremental",
             "resolution": res,
@@ -232,7 +234,22 @@ def incremental_update(
                 )
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            refresh_manifest(spark, checkpoint_base, layer, lineage, pfx_len)
+            if old_manifest.get("partitions_by") == "cell_pfx":
+                # O(affected) manifest update — no level rescan
+                rec_counts = {
+                    r["_pfx"]: r["n"]
+                    for r in recomputed.groupBy(
+                        F.substring("cell_id", 1, res + 1).alias("_pfx")
+                    )
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                affected_pfx = [r["_acell"] for r in affected.collect()]
+                update_manifest_delta(
+                    checkpoint_base, layer, affected_pfx, rec_counts, lineage
+                )
+            else:  # legacy manifest (partition-id keyed): rescan once
+                refresh_manifest(spark, checkpoint_base, layer, lineage, pfx_len)
         else:
             kept = old.join(
                 F.broadcast(affected), prefix == F.col("_acell"), "left_anti"

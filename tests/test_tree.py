@@ -187,3 +187,8 @@ def test_incremental_partial_partition_overwrite(spark, leaves, tmp_path_factory
     with open(os.path.join(base, "level=1", "_MANIFEST.json")) as fh:
         man = _json.load(fh)
     assert man["lineage"].get("write") == "dynamic-partition-overwrite"
+    # arithmetic (no-rescan) manifest update must agree with storage
+    assert man.get("partitions_by") == "cell_pfx"
+    actual = spark.read.parquet(os.path.join(base, "level=1", "nodes.parquet")).count()
+    assert man["rows"] == actual
+    assert sum(man["partitions"].values()) == actual
