@@ -245,6 +245,35 @@ class RaptorEngine:
             raise ValueError("no tree built and no nodes given")
         return TileAnnIndex(src.select("node_id", "embedding"), dim=self.dim, **kw)
 
+    def sample_documents(
+        self,
+        docs: DataFrame,
+        rates_pct: dict[str, int] | None = None,
+        default_pct: int = 20,
+        stratum_col: str = "lang",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Deterministic stratified hash sample (per-stratum percentages)
+        — reproducible across runs, engines, and re-partitionings; see
+        textstats.stratified_hash_sample."""
+        from raptor_rag_spark.operators.textstats import stratified_hash_sample
+
+        return stratified_hash_sample(
+            docs, id_col=id_col, stratum_col=stratum_col,
+            rates_pct=rates_pct, default_pct=default_pct,
+        )
+
+    def quantize_corpus(self, nodes: DataFrame | None = None) -> DataFrame:
+        """Int8-quantize the (node_id, embedding) corpus (4x memory/
+        scan for retrieval at scale) — see operators/quantize.py; score
+        with quantize.brute_force_knn_quantized."""
+        from raptor_rag_spark.operators.quantize import quantize_embeddings
+
+        src = nodes if nodes is not None else self.nodes
+        if src is None:
+            raise ValueError("no tree built and no nodes given")
+        return quantize_embeddings(src, emb_col="embedding")
+
     def catalog(self, root: str):
         """Snapshot-table catalog (Iceberg-shaped seam) rooted at
         ``root`` — see raptor_rag_spark.sources.catalog."""

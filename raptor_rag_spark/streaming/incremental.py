@@ -272,3 +272,20 @@ def incremental_update(
         embed_dim=dim,
         resume=True,
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for the ingest path: drop rows whose key
+    re-appears within the watermark window. State is BOUNDED by the
+    watermark (old keys age out) — a global streaming dropDuplicates
+    would grow state forever on a 10^12-page crawl; re-crawls older
+    than the watermark are treated as fresh versions by design (the
+    tree's incremental update replaces their cells)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

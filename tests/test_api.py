@@ -167,3 +167,18 @@ def test_cluster_duplicates_end_to_end(spark, tmp_path_factory):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         eng.cluster_duplicates(docs, method="exact")
+
+
+def test_sample_and_quantize_facade(spark, tmp_path_factory):
+    from raptor_rag_spark.api import RaptorEngine
+
+    eng = RaptorEngine(spark, str(tmp_path_factory.mktemp("sq")))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = eng.sample_documents(docs, rates_pct={"en": 20}, default_pct=50)
+    assert 0 < s.count() < docs.count()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id as node_id", "embedding"
+    )
+    qz = eng.quantize_corpus(emb)
+    row = qz.select("q_vec", "q_scale").first()
+    assert len(row["q_vec"]) == 64 and row["q_scale"] > 0

@@ -203,3 +203,40 @@ def test_streamed_pages_feed_incremental_tree_update(spark, tmp_path_factory):
     g = sorted(tuple(r) for r in got.select(*cols).collect())
     w = sorted(tuple(r) for r in want.select(*cols).collect())
     assert g == w
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
+    """Streaming exact dedup: a url recrawled within the watermark is
+    dropped (state-bounded dropDuplicatesWithinWatermark), across
+    micro-batch boundaries."""
+    import datetime as dt
+
+    from raptor_rag_spark.streaming.incremental import dedup_stream
+
+    root = tmp_path_factory.mktemp("sdedup")
+    in_dir, out_dir, ck = str(root / "in"), str(root / "out"), str(root / "ck")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [("http://a/1", base, "x"), ("http://a/2", base, "y")]
+    rows2 = [("http://a/2", base + dt.timedelta(minutes=5), "y2"),
+             ("http://a/3", base + dt.timedelta(minutes=5), "z")]
+    schema = "url string, warc_ts timestamp, text string"
+    spark.createDataFrame(rows1, schema).write.parquet(f"{in_dir}/b1")
+    spark.createDataFrame(rows2, schema).write.parquet(f"{in_dir}/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    q = (
+        dedup_stream(stream, key_cols=("url",), watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    urls = sorted(r["url"] for r in got.select("url").collect())
+    assert urls == ["http://a/1", "http://a/2", "http://a/3"]
