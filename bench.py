@@ -417,15 +417,25 @@ def main() -> None:
     # scan — fingerprint read 0.24 s counted vs ~2.9 s actually
     # evaluated. Rounds 1-2 used count(); the honest numbers are higher
     # for pure-projection queries, identical for joins/aggs.
+    # min-of-N per query (default 2): co-tenant interference on this
+    # box only ever ADDS time, and one polluted window otherwise
+    # poisons the whole artifact (observed 5-30x on plain JVM queries —
+    # bench_out/bench_r3b_full.json). Heavy one-shot entries above
+    # (tree build, corpus, flagship) stay single-pass.
+    suite_reps = max(1, int(os.environ.get("SPARK_GRAFT_SUITE_REPEATS", "2")))
     rest = tuple(n for n in sorted(queries) if n not in curated)
     for name in curated + rest:
-        timed(
-            name,
-            lambda n=name: queries[n](spark, SF_DIR)
-            .write.format("noop")
-            .mode("overwrite")
-            .save(),
-        )
+
+        def run(n=name):
+            queries[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        best = None
+        for _ in range(suite_reps):
+            t0 = time.time()
+            run()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # flagship retrieval with the distributed (no-driver-collect)
     # scoring path — the large-query-batch story; same candidates, the
