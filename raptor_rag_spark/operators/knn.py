@@ -84,6 +84,21 @@ def _collect_query_matrix(queries: DataFrame, query_id: str, q_emb: str):
     return ids, mat
 
 
+def require_integral_id(df: DataFrame, col: str, where: str) -> None:
+    """The join-path kernels cast ids with cast('long') / numpy int64: a
+    non-integral id column would silently become NULL, collapse every
+    row into the xxhash64(NULL) block, and crash the kernel on None ids
+    — fail loudly up front instead (same contract as
+    dedup.embedding_neardup_pairs)."""
+    id_type = df.schema[col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"{where} needs an integral id column; {col!r} is {id_type}. "
+            f"Derive one first, e.g. xxhash64({col}) or row_number, and "
+            f"join back after."
+        )
+
+
 def _resolve_strategy(strategy: str, queries: DataFrame) -> str:
     """'auto' -> 'broadcast' below BROADCAST_MAX_QUERIES else 'join'
     (one count() on the query side, which the caller's batch endpoint
@@ -120,6 +135,8 @@ def _brute_force_knn_join(
     import numpy as np
     import pandas as pd
 
+    require_integral_id(queries, query_id, "_brute_force_knn_join")
+    require_integral_id(nodes, node_id, "_brute_force_knn_join")
     spark = nodes.sparkSession
     par = spark.sparkContext.defaultParallelism
     # qb*nb ~ 2*parallelism: measured 5.2 s vs 24.2 s (120k q x 5k nodes,
@@ -306,6 +323,8 @@ def _score_candidates_join(
     import numpy as np
     import pandas as pd
 
+    require_integral_id(queries, query_id, "_score_candidates_join")
+    require_integral_id(cand_with_emb, "node_id", "_score_candidates_join")
     joined = cand_with_emb.select(query_id, "node_id", "embedding").join(
         queries.select(query_id, q_emb), query_id
     )

@@ -65,6 +65,89 @@ def quantize_embeddings(
     ).drop("_qz")
 
 
+def _brute_force_knn_join_quantized(
+    queries: DataFrame,
+    nodes_q: DataFrame,
+    k: int,
+    query_id: str,
+    node_id: str,
+    q_emb: str,
+    n_query_blocks: int | None = None,
+    n_node_blocks: int | None = None,
+) -> DataFrame:
+    """Fully distributed quantized kNN — the int8 twin of
+    knn._brute_force_knn_join: NO driver collect of either side, so the
+    exact regime quantization is for (huge corpora, huge query batches)
+    never routes through the driver.
+
+    Physical strategy — two-sided blocked matmul via COGROUP: queries
+    hash into QB blocks and replicate across node blocks; nodes do the
+    converse. ``cogroup().applyInPandas`` keeps the two sides as
+    SEPARATE Arrow streams, so the node side shuffles as
+    array<tinyint> + one float scale end-to-end (a union would upcast
+    the int8 vectors to float and forfeit the 4x shuffle win). Each
+    (qb, nb) kernel dequantizes per block — one int8 materialization of
+    block size, never of the corpus — and emits its per-query partial
+    top-k; the global window sees at most NB*k rows per query."""
+    from raptor_rag_spark.operators.knn import (
+        _rank_and_take,
+        require_integral_id,
+    )
+
+    require_integral_id(queries, query_id, "_brute_force_knn_join_quantized")
+    require_integral_id(nodes_q, node_id, "_brute_force_knn_join_quantized")
+    spark = nodes_q.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    default_b = max(2, int((2 * par) ** 0.5))
+    qb = int(n_query_blocks) if n_query_blocks else default_b
+    nb = int(n_node_blocks) if n_node_blocks else default_b
+
+    qrep = (
+        queries.select(
+            F.col(query_id).cast("long").alias("_id"), F.col(q_emb).alias("_emb")
+        )
+        .withColumn("_qb", F.pmod(F.xxhash64("_id"), F.lit(qb)).cast("int"))
+        .withColumn("_nb", F.explode(F.array(*[F.lit(i) for i in range(nb)])))
+    )
+    nrep = (
+        nodes_q.select(
+            F.col(node_id).cast("long").alias("_id"), "q_vec", "q_scale"
+        )
+        .withColumn("_nb", F.pmod(F.xxhash64("_id"), F.lit(nb)).cast("int"))
+        .withColumn("_qb", F.explode(F.array(*[F.lit(i) for i in range(qb)])))
+    )
+
+    def block_kernel(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(npdf):
+            return pd.DataFrame({query_id: [], node_id: [], "dist": []}).astype(
+                {query_id: "int64", node_id: "int64", "dist": "float64"}
+            )
+        q_ids = qpdf["_id"].to_numpy(dtype=np.int64)
+        n_ids = npdf["_id"].to_numpy(dtype=np.int64)
+        q_mat = np.array(list(qpdf["_emb"]), dtype=np.float64)
+        n_int = np.array(list(npdf["q_vec"]), dtype=np.float64)
+        scales = npdf["q_scale"].to_numpy(dtype=np.float64)
+        dists = 1.0 - (q_mat @ n_int.T) * scales[None, :]
+        take = min(k, dists.shape[1])
+        part = np.argpartition(dists, take - 1, axis=1)[:, :take]
+        rows_q = np.repeat(np.arange(len(q_ids)), take)
+        cols = part.reshape(-1)
+        return pd.DataFrame(
+            {
+                query_id: q_ids[rows_q],
+                node_id: n_ids[cols],
+                "dist": dists[rows_q, cols],
+            }
+        )
+
+    scored = (
+        qrep.groupBy("_qb", "_nb")
+        .cogroup(nrep.groupBy("_qb", "_nb"))
+        .applyInPandas(block_kernel, f"{query_id} long, {node_id} long, dist double")
+    )
+    return _rank_and_take(scored, k, query_id, node_id)
+
+
 def brute_force_knn_quantized(
     queries: DataFrame,
     nodes_q: DataFrame,
@@ -72,12 +155,25 @@ def brute_force_knn_quantized(
     query_id: str = "query_id",
     node_id: str = "node_id",
     q_emb: str = "q_embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """kNN against a QUANTIZED corpus: float queries (small side,
-    broadcast) x int8 nodes — the int8@int8 matmul runs in int32 and
-    rescales per node vector. Same map-side partial top-k shape as
-    knn.brute_force_knn; the corpus side never materializes floats,
-    so executor memory and scan bytes drop ~4x."""
+    """kNN against a QUANTIZED corpus: float queries x int8 nodes — the
+    dequantized matmul rescales per node vector. The corpus side never
+    materializes floats, so executor memory and scan bytes drop ~4x.
+
+    strategy='broadcast' (small query batches): query matrix broadcast
+    as numpy, map-side partial top-k, same shape as
+    knn.brute_force_knn. strategy='join': two-sided blocked cogroup
+    matmul, NO driver collect of either side
+    (_brute_force_knn_join_quantized). 'auto' switches at
+    knn.BROADCAST_MAX_QUERIES — so the 100 TB regime this module exists
+    for (its docstring) never collects the query side."""
+    from raptor_rag_spark.operators.knn import _resolve_strategy
+
+    if _resolve_strategy(strategy, queries) == "join":
+        return _brute_force_knn_join_quantized(
+            queries, nodes_q, k, query_id, node_id, q_emb
+        )
     spark = nodes_q.sparkSession
     pdf = queries.select(query_id, q_emb).toPandas()
     q_ids = pdf[query_id].to_numpy(dtype=np.int64)
