@@ -403,7 +403,6 @@ def main() -> None:
         "fingerprint",
         "pages_month",
         "range_join",
-        "pip_tiled",
         "global_topn",
         "minhash_sig",
         "catalog_snapshots",

@@ -318,6 +318,30 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out, K)
 
 
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute kNN over the INT8-QUANTIZED corpus (the 4x memory/scan
+    lever, operators/quantize.py): same queries as knn_brute, corpus
+    stored as array<tinyint> + per-vector scale, dequantized per block
+    inside the kernel. Deterministic (symmetric round-half-even
+    quantization + pinned tie-breaks) -> pinned golden VALUES oracle;
+    the rank-1 hit for each query is itself (quantization preserves the
+    self-match), and ranks vs the float path drift only where distances
+    tie within the quantization error."""
+    from raptor_rag_spark.operators.quantize import (
+        brute_force_knn_quantized,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node_id"), "embedding")
+    nodes_q = quantize_embeddings(nodes).select("node_id", "q_vec", "q_scale")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = brute_force_knn_quantized(queries, nodes_q, k=K + RANK_MARGIN)
+    return _rerank_rounded(out, K)
+
+
 def q_knn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship tile-pruned kNN at fixed ring=1, res=2 (hard home
     cells both sides) — semantics exactly mirrored in the oracle."""
@@ -344,30 +368,48 @@ def q_knn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
-    return xy.select(
-        "vec_id", point_in_polygon_expr(F.col("x"), F.col("y"), PIP_POLYGON).alias("inside")
-    )
-
-
-def q_pip_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Covering-accelerated PIP (full/boundary cell classification via
-    broadcast join; exact ray cast only on the boundary band) — output
-    identical to q_pip, so it shares the same oracle shape."""
+    """Point-in-polygon, BOTH physical strategies in one tagged result
+    (merged with the former pip_tiled entry — the driver records at
+    most 50 contract entries, see COVERAGE.md): 'exact' = per-row ray
+    cast; 'tiled' = covering-accelerated (full/boundary cell
+    classification via broadcast join; exact ray cast only on the
+    boundary band). The tiled output is row-identical to the exact one,
+    so the oracle is the same closed form tagged twice."""
     from raptor_rag_spark.operators.spatial import point_in_polygon_tiled
 
     emb = _t(spark, sf_dir, "embeddings")
     xy = tile_ops.reduce_2d(emb, dim=DIM, seed=CFG.seed)
-    return point_in_polygon_tiled(xy, PIP_POLYGON, resolution=4, id_col="vec_id")
+    exact = xy.select(
+        F.lit("exact").alias("method"),
+        "vec_id",
+        point_in_polygon_expr(F.col("x"), F.col("y"), PIP_POLYGON).alias("inside"),
+    )
+    tiled = point_in_polygon_tiled(xy, PIP_POLYGON, resolution=4, id_col="vec_id").select(
+        F.lit("tiled").alias("method"), "vec_id", "inside"
+    )
+    return exact.unionByName(tiled)
 
 
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping sets/rollup (§2.12 built-in coverage)."""
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets — ROLLUP and CUBE (§2.12), one tagged result
+    (merged from the former rollup + cube entries; 50-entry driver
+    record cap, see COVERAGE.md)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    r = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_val"), F.count("*").alias("n"))
+        .withColumn("grouping_kind", F.lit("rollup_qty"))
+    )
+    c = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_val"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("grouping_kind", F.lit("cube_price"))
+    )
+    return r.unionByName(c).select(
+        "grouping_kind", "l_returnflag", "l_linestatus", "sum_val", "n"
     )
 
 
@@ -383,14 +425,6 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
-
-
-def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi/anti join surface: customers without orders, per nation."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    return no_orders.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,13 +712,38 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set ops: INTERSECT and EXCEPT over user sets."""
+    """§2.7 set ops (INTERSECT / EXCEPT over user sets) plus the §2.4
+    anti-join surface (customers without orders, per nation) in one
+    tagged result — merged from the former set_ops + semi_anti entries
+    (50-entry driver record cap, see COVERAGE.md). Unified schema
+    (kind, key, n): set-op rows carry n=1 per member; anti rows carry
+    the per-nation customer count."""
     ev = _t(spark, sf_dir, "events")
     signup = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
     error = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    both = signup.intersect(error).withColumn("set_kind", F.lit("both"))
-    only_signup = signup.exceptAll(error).withColumn("set_kind", F.lit("signup_only"))
-    return both.unionByName(only_signup)
+    both = signup.intersect(error).select(
+        F.lit("both").alias("kind"),
+        F.col("user_id").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    only_signup = signup.exceptAll(error).select(
+        F.lit("signup_only").alias("kind"),
+        F.col("user_id").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("no_orders_nation").alias("kind"),
+            F.col("c_nationkey").cast("long").alias("key"),
+            "n",
+        )
+    )
+    return both.unionByName(only_signup).unionByName(anti)
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,15 +784,6 @@ def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cx", 6).alias("cx"),
         F.round("cy", 6).alias("cy"),
         F.size("boundary").alias("n_vertices"),
-    )
-
-
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets CUBE (§2.12 checklist, alongside rollup)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.count("*").alias("n"),
     )
 
 
@@ -915,6 +965,14 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ====================================================================
 
+# EXACTLY 50 entries. The driver's CORRECTNESS artifact records at most
+# 50 queries in this dict's insertion order (round 3 registered 52 and
+# the artifact silently truncated the last two) — so the contract
+# surface is consolidated to 50 tagged entries covering every operator:
+# rollup_cube = rollup + cube, pip = exact + tiled strategies,
+# set_ops = intersect/except + anti-join, each a UNION with a tag
+# column mirrored in its oracle. The formerly-truncated entries
+# (multimodal_features, ann_index_search) now sit early on purpose.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "topk_per_group": q_topk_per_group,
@@ -926,6 +984,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "quality": q_quality,
     "lang_id": q_lang_id,
+    "multimodal_features": q_multimodal_features,
+    "ann_index_search": q_ann_index_search,
+    "knn_quantized": q_knn_quantized,
     "tile_assign": q_tile_assign,
     "tile_soft": q_tile_soft,
     "cell_rollup": q_cell_rollup,
@@ -933,10 +994,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute": q_knn_brute,
     "knn_tiled": q_knn_tiled,
     "pip": q_pip,
-    "pip_tiled": q_pip_tiled,
-    "rollup": q_rollup,
+    "rollup_cube": q_rollup_cube,
     "join_agg": q_join_agg,
-    "semi_anti": q_semi_anti,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "self_similarity_tiled": q_self_similarity_tiled,
@@ -955,11 +1014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "top_terms": q_top_terms,
-    # rows-only: HLL sketch values are engine-specific
     "approx_distinct": q_approx_distinct,
     "raster_vectorize": q_raster_vectorize,
-    "cube": q_cube,
-    # rows-only
     "cell_summary": q_cell_summary,
     "traversal_retrieval": q_traversal_retrieval,
     "chunks": q_chunks,
@@ -968,8 +1024,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_sig": q_minhash_sig,
     "fingerprint": q_fingerprint,
     "collapsed_retrieval": q_collapsed_retrieval,
-    "multimodal_features": q_multimodal_features,
-    "ann_index_search": q_ann_index_search,
 }
 
 
@@ -1224,10 +1278,13 @@ WITH RECURSIVE w AS (
          END AS BIGINT) AS fingerprint
   FROM w
 ), keys AS (
-  SELECT doc_id, concat('T:', md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k
+  -- || (NULL-propagating), NOT concat(): DuckDB concat() SKIPS NULL
+  -- arguments, so a NULL-text doc would get key 'T:' here while the
+  -- engine's F.concat yields NULL (filtered below) — they must agree
+  SELECT doc_id, 'T:' || md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS k
   FROM documents
   UNION ALL
-  SELECT doc_id, concat('F:', CAST(fingerprint AS VARCHAR)) AS k FROM fp
+  SELECT doc_id, 'F:' || CAST(fingerprint AS VARCHAR) AS k FROM fp
 ), e0 AS (
   SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY k) AS dst
   FROM keys WHERE k IS NOT NULL
@@ -1496,28 +1553,25 @@ SELECT query_id, node_id, CAST(rank AS INT) AS rank, dist
 FROM ranked WHERE rank <= {K}
 """,
         "pip": f"""
-WITH {XY_CTE}
-SELECT vec_id, {_pip_sql('x', 'y')} AS inside FROM xy
+WITH {XY_CTE},
+p AS (SELECT vec_id, {_pip_sql('x', 'y')} AS inside FROM xy)
+SELECT 'exact' AS method, vec_id, inside FROM p
+UNION ALL
+SELECT 'tiled' AS method, vec_id, inside FROM p
 """,
-        "pip_tiled": f"""
-WITH {XY_CTE}
-SELECT vec_id, {_pip_sql('x', 'y')} AS inside FROM xy
-""",
-        "rollup": """
-SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
-       CAST(COUNT(*) AS BIGINT) AS n
+        "rollup_cube": """
+SELECT 'rollup_qty' AS grouping_kind, l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_val, CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube_price' AS grouping_kind, l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_val, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "join_agg": """
 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_nationkey
-""",
-        "semi_anti": """
-SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
 """,
         "knn_threshold": f"""
@@ -1562,11 +1616,6 @@ SELECT gx, gy, n,
        CAST(4 AS INT) AS n_vertices
 FROM r
 """,
-        "cube": """
-SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
         "range_join": f"""
 WITH {XY_CTE}
 SELECT q.vec_id AS query_id, n.vec_id AS node_id,
@@ -1610,9 +1659,17 @@ FROM events GROUP BY event_type
         "set_ops": """
 WITH signup AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
 error AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
-SELECT user_id, 'both' AS set_kind FROM (SELECT user_id FROM signup INTERSECT SELECT user_id FROM error)
+SELECT 'both' AS kind, user_id AS key, CAST(1 AS BIGINT) AS n
+FROM (SELECT user_id FROM signup INTERSECT SELECT user_id FROM error)
 UNION ALL
-SELECT user_id, 'signup_only' AS set_kind FROM (SELECT user_id FROM signup EXCEPT SELECT user_id FROM error)
+SELECT 'signup_only' AS kind, user_id AS key, CAST(1 AS BIGINT) AS n
+FROM (SELECT user_id FROM signup EXCEPT SELECT user_id FROM error)
+UNION ALL
+SELECT 'no_orders_nation' AS kind, CAST(c_nationkey AS BIGINT) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
 """,
         "asof_join": """
 WITH signup AS (

@@ -37,6 +37,7 @@ PINNED_QUERIES = [
     "ann_index_search",
     "multimodal_features",
     "approx_distinct",
+    "knn_quantized",
 ]
 # queries whose output does not depend on the sf dir at all
 SF_INDEPENDENT = {"multimodal_features"}
