@@ -77,6 +77,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# chunk+embed leaf pipeline memo, keyed by (application, sf_dir): the
+# three tree-dependent contract entries (cell_summary,
+# traversal_retrieval, collapsed_retrieval) all start from this exact
+# deterministic DataFrame — computing it once per session changes no
+# result (pinned oracles regenerate identically) but stops the suite
+# re-running chunk+embed per entry. localCheckpoint pins it executor-
+# side; a fresh session (new applicationId) recomputes.
+_LEAVES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _leaf_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LEAVES_CACHE.get(key)
+    if df is None:
+        docs = _t(spark, sf_dir, "documents")
+        chunks = chunk_documents(docs, max_tokens=60)
+        df = (
+            embed_texts(chunks, dim=DIM)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "text", "n_tokens", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        _LEAVES_CACHE[key] = df
+    return df
+
+
 # a fixed pentagon in reduced space with no horizontal edges (PIP oracle)
 PIP_POLYGON = [
     (0.00, -0.45),
@@ -527,13 +553,7 @@ def q_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedder (rows-only: embedder is not SQL)."""
     from raptor_rag_spark.operators.retrieve import embed_queries, retrieve_collapsed
 
-    docs = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, max_tokens=60)
-    nodes = (
-        embed_texts(chunks, dim=DIM)
-        .withColumnRenamed("chunk_id", "node_id")
-        .withColumn("layer", F.lit(0))
-    )
+    nodes = _leaf_nodes(spark, sf_dir).withColumn("layer", F.lit(0))
     # pin the corpus: retrieval joins nodes twice (kNN scan + text
     # dereference) and the budget/context read it again — without this
     # the chunk+embed pipeline re-executes per consumer (measured 31 s
@@ -650,14 +670,7 @@ def q_cell_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDAF shape). Rows-only: the summarizer is not SQL."""
     from raptor_rag_spark.operators.tree import build_level
 
-    docs = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, max_tokens=60)
-    nodes = (
-        embed_texts(chunks, dim=DIM)
-        .withColumnRenamed("chunk_id", "node_id")
-        .select("node_id", "text", "n_tokens", "embedding")
-    )
-    nodes = tile_ops.reduce_2d(nodes, dim=DIM, seed=CFG.seed)
+    nodes = tile_ops.reduce_2d(_leaf_nodes(spark, sf_dir), dim=DIM, seed=CFG.seed)
     parents = build_level(nodes, layer=1, resolution=2, cfg=CFG)
     return parents.select(
         "node_id", "cell_id", F.size("children").alias("n_children"), "n_tokens"
@@ -677,13 +690,7 @@ def q_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raptor_rag_spark.operators.tree import build_tree
     from raptor_rag_spark.sources.tables import source_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, max_tokens=60)
-    leaves = (
-        embed_texts(chunks, dim=DIM)
-        .withColumnRenamed("chunk_id", "node_id")
-        .select("node_id", "text", "n_tokens", "embedding")
-    )
+    leaves = _leaf_nodes(spark, sf_dir)
     tag = source_fingerprint(sf_dir)
     base = _os.path.join(tempfile.gettempdir(), f"rrs_trav_tree_{tag}")
     nodes = build_tree(
