@@ -18,6 +18,7 @@ from raptor_rag_spark.operators.knn import (
 )
 from raptor_rag_spark.operators.tile import (
     adaptive_tile_assignments,
+    cell_key_col,
     reduce_2d,
     tile_assignments,
 )
@@ -61,6 +62,9 @@ class TileAnnIndex:
         self.id_col = id_col
         self.membership = membership
         self.recall: float | None = None
+        self.base_resolution = base_resolution
+        self.max_occupancy = max_occupancy
+        self.max_resolution = max_resolution
         self.resolutions = list(range(base_resolution, max_resolution + 1))
         self.nodes = nodes.select(F.col(id_col).alias("node_id"), "embedding").localCheckpoint(
             eager=True
@@ -112,9 +116,12 @@ class TileAnnIndex:
             "id_col": self.id_col,
             "membership": self.membership,
             "resolutions": self.resolutions,
+            "base_resolution": self.base_resolution,
+            "max_occupancy": self.max_occupancy,
+            "max_resolution": self.max_resolution,
             "seeds": seeds,
             "populated_keys": keys,
-            "recall": recall,
+            "recall": recall if recall is not None else self.recall,
         }
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(meta, fh, indent=1)
@@ -134,6 +141,9 @@ class TileAnnIndex:
         self.id_col = meta["id_col"]
         self.membership = meta["membership"]
         self.resolutions = meta["resolutions"]
+        self.base_resolution = meta.get("base_resolution", meta["resolutions"][0])
+        self.max_occupancy = meta.get("max_occupancy", 256)
+        self.max_resolution = meta.get("max_resolution", meta["resolutions"][-1])
         self.recall = meta.get("recall")
         self.nodes = spark.read.parquet(os.path.join(path, "nodes.parquet"))
         saved_keys = meta.get("populated_keys", {})
@@ -153,6 +163,87 @@ class TileAnnIndex:
                 }
             self.views.append((seed, xy, atiles, populated))
         return self
+
+    def append(self, new_nodes: DataFrame) -> dict:
+        """Incremental index maintenance — the FAISS ``index.add``
+        analog (the reference's FaissRetriever rebuilds from scratch on
+        change; crawl-scale ingest cannot rebuild projections per
+        batch). Mirrors streaming.incremental_update's affected-cell
+        argument: per projection, ONLY base-resolution cells that
+        receive new points are re-tiled.
+
+        Why the local recompute is exact: a point's adaptive resolution
+        is the coarsest r with count(cell_r(p)) <= cap, and every
+        cell_r(p) with r >= base is nested inside cell_base(p) (quadkey
+        prefix property), so counts of any cell under an affected base
+        cell involve only that base cell's points — re-running the
+        one-pass rule over exactly those points equals the global
+        rebuild (pytest: append == rebuild, row-identical).
+
+        All heavy steps are DataFrame plans (semi/anti joins on the
+        base key); the only collects are the O(affected) dropped/added
+        key-set deltas for broadcast membership (bounded the same way
+        the constructor's key set is). ``new_nodes`` must carry ids
+        disjoint from the existing corpus (same contract as the tree's
+        level-0 append). Returns per-view stats
+        {seed: {"affected_base_cells": n, "retiled_rows": n}}.
+
+        Recall drift: the stored ``self.recall`` is intentionally left
+        as the pre-append measurement — call ``measure_recall`` after
+        appending and compare (then ``save(path, recall=new)`` to
+        re-pin)."""
+        add = new_nodes.select(
+            F.col(self.id_col).alias("node_id"), "embedding"
+        ).localCheckpoint(eager=True)
+        stats: dict = {}
+        new_views = []
+        for seed, xy, atiles, populated in self.views:
+            new_xy = reduce_2d(add, dim=self.dim, seed=seed).localCheckpoint(eager=True)
+            bk = cell_key_col(F.col("x"), F.col("y"), self.base_resolution).alias("_bk")
+            aff = new_xy.select(bk).distinct().localCheckpoint(eager=True)
+            merged_xy = xy.unionByName(new_xy)
+            with_bk = merged_xy.withColumn("_bk", bk)
+            in_aff = with_bk.join(aff, "_bk", "left_semi").drop("_bk")
+            retiled = adaptive_tile_assignments(
+                in_aff,
+                "node_id",
+                self.base_resolution,
+                self.max_occupancy,
+                self.max_resolution,
+                strategy=self.membership,
+            ).localCheckpoint(eager=True)
+            moved_ids = in_aff.select("node_id")
+            kept = atiles.join(moved_ids, "node_id", "left_anti")
+            atiles2 = kept.unionByName(retiled).localCheckpoint(eager=True)
+            xy2 = merged_xy.localCheckpoint(eager=True)
+            if isinstance(populated, DataFrame):
+                pop2: set[int] | DataFrame = (
+                    atiles2.select("cell_key").distinct().localCheckpoint(eager=True)
+                )
+            else:
+                # O(affected) set delta: keys under an affected base cell
+                # appear ONLY in the re-tiled region (prefix nesting), so
+                # (old - dropped) | added is exact
+                dropped = {
+                    int(r["cell_key"])
+                    for r in atiles.join(moved_ids, "node_id", "left_semi")
+                    .select("cell_key")
+                    .distinct()
+                    .collect()
+                }
+                added = {
+                    int(r["cell_key"])
+                    for r in retiled.select("cell_key").distinct().collect()
+                }
+                pop2 = (populated - dropped) | added
+            stats[seed] = {
+                "affected_base_cells": aff.count(),
+                "retiled_rows": retiled.count(),
+            }
+            new_views.append((seed, xy2, atiles2, pop2))
+        self.views = new_views
+        self.nodes = self.nodes.unionByName(add).localCheckpoint(eager=True)
+        return stats
 
     def measure_recall(self, queries: DataFrame, k: int = 10, ring: int = 2) -> float:
         """recall@k of this index's search vs exact brute force over the

@@ -231,3 +231,75 @@ def test_ann_index_load_runs_no_spark_job_for_keys(spark, points, tmp_path, monk
     assert all(isinstance(pop, set) and pop for _, _, _, pop in idx2.views)
     # the persisted key sets equal the in-memory build's
     assert [pop for *_, pop in idx2.views] == [pop for *_, pop in idx.views]
+
+
+def test_ann_index_append_equals_rebuild(spark, points):
+    """Incremental append == from-scratch rebuild, row-identical per
+    view (tiles AND populated key sets), and only affected base cells
+    re-tiled. The prefix-closure argument in TileAnnIndex.append is
+    exercised on the skewed corpus (blob + uniform): appended points
+    land in hot cells that must re-split."""
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    initial = points.filter(F.col("node_id") < 2500).localCheckpoint(eager=True)
+    extra = points.filter(F.col("node_id") >= 2500).localCheckpoint(eager=True)
+    kw = dict(
+        id_col="node_id", dim=DIM, seeds=(224, 777), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    idx = TileAnnIndex(initial, **kw)
+    stats = idx.append(extra.select("node_id", "embedding"))
+    full = TileAnnIndex(points, **kw)
+
+    for (seed_a, _xy_a, at_a, pop_a), (seed_b, _xy_b, at_b, pop_b) in zip(
+        idx.views, full.views
+    ):
+        assert seed_a == seed_b
+        rows_a = sorted(map(tuple, at_a.select("node_id", "resolution", "cell_key").collect()))
+        rows_b = sorted(map(tuple, at_b.select("node_id", "resolution", "cell_key").collect()))
+        assert rows_a == rows_b, f"view {seed_a}: append != rebuild"
+        assert pop_a == pop_b, f"view {seed_a}: populated key sets differ"
+        # incremental: strictly fewer rows re-tiled than the corpus
+        assert 0 < stats[seed_a]["retiled_rows"] < 3000
+    assert idx.nodes.count() == 3000
+
+    q = points.limit(16).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(idx.search(q, k=5, ring=2)) == key(full.search(q, k=5, ring=2))
+
+
+def test_ann_index_append_recall_drift_and_save(spark, points, tmp_path):
+    """The documented drift workflow: measure -> append -> re-measure ->
+    re-pin via save; the saved meta carries the new recall and the
+    adaptive parameters needed for future appends."""
+    import json
+    import os
+
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    initial = points.filter(F.col("node_id") < 2700).localCheckpoint(eager=True)
+    extra = points.filter(F.col("node_id") >= 2700).localCheckpoint(eager=True)
+    idx = TileAnnIndex(
+        initial, id_col="node_id", dim=DIM, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    q = points.limit(32).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    before = idx.measure_recall(q, k=5, ring=2)
+    idx.recall = before
+    idx.append(extra.select("node_id", "embedding"))
+    after = idx.measure_recall(q, k=5, ring=2)
+    assert after >= 0.8, after  # post-append index still searches well
+    p = str(tmp_path / "ann_idx_append")
+    idx.save(p, recall=after)
+    meta = json.load(open(os.path.join(p, "meta.json")))
+    assert meta["recall"] == after
+    assert meta["max_occupancy"] == 64 and meta["base_resolution"] == 2
+    idx2 = TileAnnIndex.load(spark, p)
+    assert idx2.nodes.count() == 3000
+    assert idx2.max_occupancy == 64
