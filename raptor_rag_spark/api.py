@@ -84,7 +84,11 @@ class RaptorEngine:
         streaming/incremental.py:incremental_update — result equals a
         from-scratch build over the merged corpus, pytest-asserted).
         doc_ids must not collide with already-ingested ones; chunk ids
-        use the full-width hash scheme so any 64-bit doc_id is safe."""
+        use the full-width hash scheme so any 64-bit doc_id is safe.
+        A plain-string append derives its doc_id from the TEXT CONTENT
+        (xxhash64) — a fixed id would make chunk_id = f(0, chunk_idx)
+        collide across different appended strings, silently corrupting
+        level 0 with duplicate node_ids."""
         from raptor_rag_spark.operators.tile import reduce_2d
         from raptor_rag_spark.streaming.incremental import incremental_update
 
@@ -93,8 +97,8 @@ class RaptorEngine:
                              "append_documents only updates an existing tree")
         if isinstance(docs, str):
             docs = self.spark.createDataFrame(
-                [(0, docs)], f"{id_col} long, {text_col} string"
-            )
+                [(docs,)], f"{text_col} string"
+            ).select(F.xxhash64(F.col(text_col)).alias(id_col), text_col)
         chunks = chunk_documents(
             docs, id_col=id_col, text_col=text_col,
             max_tokens=self.cfg.max_tokens, id_scheme="hash",

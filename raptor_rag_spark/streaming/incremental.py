@@ -81,13 +81,31 @@ def stream_pages(
     )
 
 
-def append_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
+def append_level(
+    df: DataFrame, base: str, layer: int, lineage: dict, append_id: str | None = None
+) -> dict:
     """Append rows to an existing level checkpoint WITHOUT rewriting the
     level (the 100 TB level-0 ingest path: old data files are immutable,
     the append adds files, the manifest records the delta). Returns the
-    updated manifest."""
+    updated manifest.
+
+    Crash-safe + idempotent under retry (the same staging discipline
+    catalog snapshots got in round 3): the delta is written to an
+    ``_inflight`` subdir (invisible to parquet readers), its part files
+    are then renamed into the level under names carrying ``append_id``,
+    and the manifest commit is LAST. A retry with the same ``append_id``
+    (a) no-ops if the manifest already records it (crash after commit),
+    (b) first deletes any ``part-inflight-<id>-*`` leftovers (crash
+    mid-rename or pre-commit) — so the appended rows land exactly once
+    no matter where a previous attempt died. Callers that may retry
+    MUST pass a stable content-derived ``append_id``
+    (incremental_update derives one from the delta's node_ids)."""
+    import glob as _glob
     import json as _json
+    import os
+    import shutil as _shutil
     import time as _time
+    import uuid as _uuid
 
     from raptor_rag_spark.operators.tree import (
         _level_path,
@@ -96,13 +114,35 @@ def append_level(df: DataFrame, base: str, layer: int, lineage: dict) -> dict:
     )
 
     t0 = _time.time()
+    manifest = read_manifest(base, layer)
+    if append_id is not None and any(
+        a.get("id") == append_id for a in manifest.get("appends", [])
+    ):
+        return manifest  # already applied — retry after a post-commit crash
+    aid = append_id or _uuid.uuid4().hex
+    lp = _level_path(base, layer)
+    # scrub leftovers of a crashed earlier attempt of THIS append
+    for leftover in _glob.glob(os.path.join(lp, f"part-inflight-{aid}-*")):
+        os.remove(leftover)
+    inflight = os.path.join(lp, f"_inflight_{aid}")
+    _shutil.rmtree(inflight, ignore_errors=True)
     pinned = df.localCheckpoint(eager=True)  # count + write, one execution
     delta_rows = pinned.count()
-    pinned.write.mode("append").parquet(_level_path(base, layer))
-    manifest = read_manifest(base, layer)
+    pinned.write.mode("overwrite").parquet(inflight)
+    parts = sorted(_glob.glob(os.path.join(inflight, "part-*")))
+    for i, src in enumerate(parts):
+        bn = os.path.basename(src)
+        ext = bn[bn.index(".") :] if "." in bn else ".parquet"
+        os.replace(src, os.path.join(lp, f"part-inflight-{aid}-{i:05d}{ext}"))
+    _shutil.rmtree(inflight, ignore_errors=True)
     manifest["rows"] = int(manifest["rows"]) + int(delta_rows)
     manifest.setdefault("appends", []).append(
-        {"rows": int(delta_rows), "lineage": lineage, "wall_sec": round(_time.time() - t0, 3)}
+        {
+            "id": aid,
+            "rows": int(delta_rows),
+            "lineage": lineage,
+            "wall_sec": round(_time.time() - t0, 3),
+        }
     )
     with open(_manifest_path(base, layer), "w") as fh:
         _json.dump(manifest, fh, indent=1)
@@ -171,7 +211,18 @@ def incremental_update(
             "embedding", "x", "y",
         )
     )
-    append_level(lvl0_delta, checkpoint_base, 0, {"input": "incremental append"})
+    # content-derived append id: a retried incremental_update (crash
+    # anywhere downstream) re-presents the same delta and must not
+    # duplicate level-0 rows — append_level dedups on this id
+    agg = lvl0_delta.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("node_id"), F.lit(1 << 31))).alias("h"),
+    ).first()
+    append_id = f"n{agg['n']}h{agg['h'] or 0}"
+    append_level(
+        lvl0_delta, checkpoint_base, 0, {"input": "incremental append"},
+        append_id=append_id,
+    )
 
     # changed rows at the current child level: (node_id, x, y)
     delta = lvl0_delta.select("node_id", "x", "y").localCheckpoint(eager=True)

@@ -117,6 +117,28 @@ def test_append_documents_incremental(spark, tmp_path_factory):
     assert parents.join(ids, "cid", "left_anti").count() == 0
 
 
+def test_append_two_strings_no_node_id_collision(spark, tmp_path_factory):
+    """Two different plain-string appends must yield DISTINCT level-0
+    node_ids: the string path derives doc_id from the text content
+    (xxhash64), not a fixed 0 — a fixed id made chunk_id = f(0,
+    chunk_idx) collide across different texts (round-3 advice)."""
+    from raptor_rag_spark.datagen import synthetic_pages
+
+    base = str(tmp_path_factory.mktemp("api_tree_str"))
+    eng = RaptorEngine(spark, base, CFG, embed_dim=32, start_resolution=3)
+    pages = synthetic_pages(spark, n=40, seed=42).select(
+        F.col("page_id").alias("doc_id"), "text"
+    )
+    eng.add_documents(pages)
+    eng.append_documents("completely fresh sentence about rivers and maps")
+    eng.append_documents("another unrelated paragraph on tensors and joins")
+    leaves = eng.nodes.filter(F.col("layer") == 0)
+    assert leaves.count() == leaves.select("node_id").distinct().count()
+    texts = {r["text"] for r in leaves.collect()}
+    assert any("rivers and maps" in t for t in texts)
+    assert any("tensors and joins" in t for t in texts)
+
+
 def test_append_before_build_raises(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("api_tree_nope"))
     eng = RaptorEngine(spark, base, CFG, embed_dim=32)

@@ -240,3 +240,67 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
     got = spark.read.parquet(out_dir)
     urls = sorted(r["url"] for r in got.select("url").collect())
     assert urls == ["http://a/1", "http://a/2", "http://a/3"]
+
+
+def test_append_level_idempotent_under_retry(spark, tmp_path_factory):
+    """Crash-safety of the level-0 ingest append (round-3 advice):
+    (a) a retry with the same append_id after a SUCCESSFUL commit is a
+    no-op; (b) a retry after a crash between the data rename and the
+    manifest commit scrubs the orphaned part files and applies exactly
+    once — no duplicate node_id rows in either case."""
+    import glob
+    import json
+    import os
+
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.tree import (
+        _level_path,
+        _manifest_path,
+        build_tree,
+        read_manifest,
+    )
+    from raptor_rag_spark.streaming.incremental import append_level
+
+    base = str(tmp_path_factory.mktemp("append_retry_tree"))
+    leaves0 = incremental_level0(synthetic_pages(spark, n=24, seed=21))
+    build_tree(spark, leaves0, base, DEFAULT_CONFIG, start_resolution=3)
+    rows0 = int(read_manifest(base, 0)["rows"])
+
+    delta = incremental_level0(
+        synthetic_pages(spark, n=6, seed=22).withColumn(
+            "page_id", F.col("page_id") + 9000
+        )
+    ).withColumn("layer", F.lit(0)).withColumn(
+        "cell_id", F.lit(None).cast("string")
+    ).withColumn("children", F.array().cast("array<long>")).select(
+        "node_id", "layer", "cell_id", "text", "children", "n_tokens",
+        "embedding", "x", "y",
+    ).localCheckpoint(eager=True)
+    n_delta = delta.count()
+
+    # (a) successful apply, then an identical retry
+    m1 = append_level(delta, base, 0, {"input": "t"}, append_id="batch-1")
+    m2 = append_level(delta, base, 0, {"input": "t"}, append_id="batch-1")
+    assert m1["rows"] == m2["rows"] == rows0 + n_delta
+    lvl = spark.read.parquet(_level_path(base, 0))
+    assert lvl.count() == rows0 + n_delta
+    assert lvl.select("node_id").distinct().count() == rows0 + n_delta
+
+    # (b) simulate a crash AFTER the part-file renames but BEFORE the
+    # manifest commit: roll the manifest back by hand, leaving the
+    # batch-2 part files orphaned in the level dir
+    append_level(delta.withColumn("node_id", F.col("node_id") + 10_000_000),
+                 base, 0, {"input": "t"}, append_id="batch-2")
+    m = read_manifest(base, 0)
+    m["rows"] -= n_delta
+    m["appends"] = [a for a in m["appends"] if a.get("id") != "batch-2"]
+    with open(_manifest_path(base, 0), "w") as fh:
+        json.dump(m, fh)
+    orphans = glob.glob(os.path.join(_level_path(base, 0), "part-inflight-batch-2-*"))
+    assert orphans  # the crash left visible rows the manifest undercounts
+    m3 = append_level(delta.withColumn("node_id", F.col("node_id") + 10_000_000),
+                      base, 0, {"input": "t"}, append_id="batch-2")
+    assert m3["rows"] == rows0 + 2 * n_delta
+    lvl = spark.read.parquet(_level_path(base, 0))
+    assert lvl.count() == rows0 + 2 * n_delta
+    assert lvl.select("node_id").distinct().count() == rows0 + 2 * n_delta
