@@ -429,8 +429,36 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         inter = tk.select("query_id", "node_id").intersect(bf.select("query_id", "node_id"))
         recall_holder["recall_at_10"] = round(inter.count() / bf.count(), 4)
+        recall_holder["bf"] = bf
+        recall_holder["q"] = q
 
     timed("knn_recall_measure", _recall)
+
+    # multi-projection ANN index: the recall/cost trade-off as a bench
+    # artifact — 2 independent projections union their candidates
+    # (~2x candidate cost) and recover most of what one projection
+    # misses; exact-baseline bf is reused from the measure above
+    def _multiproj_build():
+        from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+        recall_holder["idx"] = TileAnnIndex(
+            corpus["nodes"].select("node_id", "embedding"),
+            dim=DIM, seeds=(224, 777), base_resolution=3,
+            max_occupancy=256, max_resolution=9,
+        )
+
+    timed("ann_index_build_2proj", _multiproj_build)
+
+    def _multiproj_search():
+        q = recall_holder["q"].select("query_id", "q_embedding")
+        got = recall_holder["idx"].search(q, k=10, ring=2).localCheckpoint(eager=True)
+        bf = recall_holder["bf"]
+        inter = got.select("query_id", "node_id").intersect(
+            bf.select("query_id", "node_id")
+        )
+        recall_holder["recall_at_10_multiproj"] = round(inter.count() / bf.count(), 4)
+
+    timed("ann_index_search_2proj_200q", _multiproj_search)
 
     queries = em.queries()
     curated = (
@@ -533,6 +561,10 @@ def main() -> None:
             ),
             "knn_queries_per_sec": round(1000 / knn_t, 2),
             "knn_recall_at_10_vs_exact": recall_holder.get("recall_at_10"),
+            "knn_recall_at_10_multiproj": recall_holder.get("recall_at_10_multiproj"),
+            "multiproj_queries_per_sec": round(
+                200 / timings["ann_index_search_2proj_200q"], 2
+            ),
         },
     }
     spark.stop()
