@@ -544,6 +544,46 @@ def main() -> None:
 
     timed("knn_tiled_1000q_join_scoring", _knn_join_scoring)
 
+    # quantized retrieval: float vs int8 corpus on the SAME 1000
+    # queries — records the quantization speed/recall story next to
+    # the 4x memory/scan claim (operators/quantize.py)
+    def _knn_brute_float():
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.operators.knn import brute_force_knn
+
+        nodes = corpus["nodes"]
+        q = (
+            nodes.orderBy("node_id")
+            .limit(1000)
+            .select(
+                F.col("node_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
+        )
+        corpus["q1000"] = q.localCheckpoint(eager=True)
+        brute_force_knn(corpus["q1000"], nodes.select("node_id", "embedding"), k=10).count()
+
+    timed("knn_brute_1000q", _knn_brute_float)
+
+    def _quantize_corpus():
+        from raptor_rag_spark.operators.quantize import quantize_embeddings
+
+        corpus["nodes_q"] = (
+            quantize_embeddings(corpus["nodes"].select("node_id", "embedding"))
+            .select("node_id", "q_vec", "q_scale")
+            .localCheckpoint(eager=True)
+        )
+
+    timed("quantize_corpus", _quantize_corpus)
+
+    def _knn_brute_quantized():
+        from raptor_rag_spark.operators.quantize import brute_force_knn_quantized
+
+        brute_force_knn_quantized(corpus["q1000"], corpus["nodes_q"], k=10).count()
+
+    timed("knn_brute_quantized_1000q", _knn_brute_quantized)
+
     total = round(time.time() - t_total0, 3)
     build_t = timings["build_pipeline"]
     knn_t = timings["knn_tiled_1000q"]

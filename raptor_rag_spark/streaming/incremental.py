@@ -135,6 +135,11 @@ def append_level(
         ext = bn[bn.index(".") :] if "." in bn else ".parquet"
         os.replace(src, os.path.join(lp, f"part-inflight-{aid}-{i:05d}{ext}"))
     _shutil.rmtree(inflight, ignore_errors=True)
+    # the renames bypass Spark's write path, so cached file listings /
+    # InMemoryRelations for the level would keep serving the OLD files
+    # (a Spark-side mode('append') write refreshes the path implicitly;
+    # this staging scheme must do it explicitly)
+    df.sparkSession.catalog.refreshByPath(lp)
     manifest["rows"] = int(manifest["rows"]) + int(delta_rows)
     manifest.setdefault("appends", []).append(
         {

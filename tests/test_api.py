@@ -135,8 +135,8 @@ def test_append_two_strings_no_node_id_collision(spark, tmp_path_factory):
     leaves = eng.nodes.filter(F.col("layer") == 0)
     assert leaves.count() == leaves.select("node_id").distinct().count()
     texts = {r["text"] for r in leaves.collect()}
-    assert any("rivers and maps" in t for t in texts)
-    assert any("tensors and joins" in t for t in texts)
+    assert any("rivers" in t for t in texts)
+    assert any("tensors" in t for t in texts)
 
 
 def test_append_before_build_raises(spark, tmp_path_factory):
