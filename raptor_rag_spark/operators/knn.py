@@ -395,6 +395,78 @@ def _score_candidates(
     )
 
 
+def _score_candidates_quantized(
+    cand_with_q: DataFrame,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    q_emb: str = "q_embedding",
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Quantized twin of :func:`_score_candidates`: candidates carry
+    (q_vec array<tinyint>, q_scale float) instead of the float
+    embedding — 4x less Arrow traffic and executor memory on the
+    corpus side; the kernel dequantizes per batch (int8 matrix ->
+    float64 once per Arrow batch, never per corpus). Same two physical
+    strategies: broadcast query matrix below the bound, query-embedding
+    equi-join above it (no driver collect)."""
+    import numpy as np
+    import pandas as pd
+
+    if strategy == "join":
+        require_integral_id(queries, query_id, "_score_candidates_quantized")
+        require_integral_id(cand_with_q, "node_id", "_score_candidates_quantized")
+        joined = cand_with_q.select(query_id, "node_id", "q_vec", "q_scale").join(
+            queries.select(query_id, q_emb), query_id
+        )
+
+        def score_join(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                q_mat = np.array(list(pdf[q_emb]), dtype=np.float64)
+                n_mat = np.array(list(pdf["q_vec"]), dtype=np.float64)
+                scales = pdf["q_scale"].to_numpy(dtype=np.float64)
+                dists = 1.0 - np.einsum("ij,ij->i", q_mat, n_mat) * scales
+                yield pd.DataFrame(
+                    {
+                        query_id: pdf[query_id].to_numpy(dtype=np.int64),
+                        "node_id": pdf["node_id"].to_numpy(dtype=np.int64),
+                        "dist": dists,
+                    }
+                )
+
+        return joined.mapInPandas(score_join, f"{query_id} long, node_id long, dist double")
+
+    q_ids, q_mat = _collect_query_matrix(queries, query_id, q_emb)
+    spark = cand_with_q.sparkSession
+    if len(q_ids) == 0:
+        return spark.createDataFrame([], f"{query_id} long, node_id long, dist double")
+    index = {int(qid): i for i, qid in enumerate(q_ids)}
+    b_index = spark.sparkContext.broadcast(index)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+
+    def score(it):
+        idx, mat = b_index.value, b_mat.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = pdf[query_id].map(idx).to_numpy(dtype=np.int64)
+            n_mat = np.array(list(pdf["q_vec"]), dtype=np.float64)
+            scales = pdf["q_scale"].to_numpy(dtype=np.float64)
+            dists = 1.0 - np.einsum("ij,ij->i", mat[rows], n_mat) * scales
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id].to_numpy(dtype=np.int64),
+                    "node_id": pdf["node_id"].to_numpy(dtype=np.int64),
+                    "dist": dists,
+                }
+            )
+
+    return cand_with_q.select(query_id, "node_id", "q_vec", "q_scale").mapInPandas(
+        score, f"{query_id} long, node_id long, dist double"
+    )
+
+
 def tile_knn(
     queries: DataFrame,
     nodes: DataFrame,

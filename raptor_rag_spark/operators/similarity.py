@@ -49,7 +49,17 @@ class TileAnnIndex:
         max_occupancy: int = 256,
         max_resolution: int = 9,
         membership: str = "auto",
+        quantized: bool = False,
     ) -> None:
+        """``quantized=True`` stores the corpus as int8 (array<tinyint>
+        + per-vector scale, operators/quantize.py) INSTEAD of float —
+        the index holds no float copy, so its resident/persisted size
+        drops ~4x and re-rank scoring ships 4x fewer bytes per
+        candidate. Projections are computed from the float input before
+        quantization (exact tiling); only the stored scoring columns
+        are quantized. Search distances then carry the quantization
+        error (recall measured, not assumed — measure_recall takes the
+        float corpus explicitly in this mode)."""
         from raptor_rag_spark.operators.tile import MAX_BROADCAST_RESOLUTION
 
         if dim is None:
@@ -61,17 +71,22 @@ class TileAnnIndex:
         self.dim = dim
         self.id_col = id_col
         self.membership = membership
+        self.quantized = quantized
         self.recall: float | None = None
         self.base_resolution = base_resolution
         self.max_occupancy = max_occupancy
         self.max_resolution = max_resolution
         self.resolutions = list(range(base_resolution, max_resolution + 1))
-        self.nodes = nodes.select(F.col(id_col).alias("node_id"), "embedding").localCheckpoint(
+        # the float table is pinned only for the build (projections read
+        # it once per seed + one quantization pass); at production scale
+        # it streams from the source table instead of a checkpoint
+        flt = nodes.select(F.col(id_col).alias("node_id"), "embedding").localCheckpoint(
             eager=True
         )
+        self.nodes = self._quantize_nodes(flt) if quantized else flt
         self.views = []
         for seed in seeds:
-            xy = reduce_2d(self.nodes, dim=dim, seed=seed).localCheckpoint(eager=True)
+            xy = reduce_2d(flt, dim=dim, seed=seed).localCheckpoint(eager=True)
             atiles = adaptive_tile_assignments(
                 xy, "node_id", base_resolution, max_occupancy, max_resolution,
                 strategy=membership,
@@ -87,6 +102,16 @@ class TileAnnIndex:
                     int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()
                 }
             self.views.append((seed, xy, atiles, populated))
+
+    @staticmethod
+    def _quantize_nodes(flt: DataFrame) -> DataFrame:
+        from raptor_rag_spark.operators.quantize import quantize_embeddings
+
+        return (
+            quantize_embeddings(flt)
+            .select("node_id", "q_vec", "q_scale")
+            .localCheckpoint(eager=True)
+        )
 
     def save(self, path: str, recall: float | None = None) -> None:
         """Persist the index: nodes + per-view tile tables as parquet,
@@ -115,6 +140,7 @@ class TileAnnIndex:
             "dim": self.dim,
             "id_col": self.id_col,
             "membership": self.membership,
+            "quantized": self.quantized,
             "resolutions": self.resolutions,
             "base_resolution": self.base_resolution,
             "max_occupancy": self.max_occupancy,
@@ -140,6 +166,7 @@ class TileAnnIndex:
         self.dim = meta["dim"]
         self.id_col = meta["id_col"]
         self.membership = meta["membership"]
+        self.quantized = meta.get("quantized", False)
         self.resolutions = meta["resolutions"]
         self.base_resolution = meta.get("base_resolution", meta["resolutions"][0])
         self.max_occupancy = meta.get("max_occupancy", 256)
@@ -242,14 +269,31 @@ class TileAnnIndex:
             }
             new_views.append((seed, xy2, atiles2, pop2))
         self.views = new_views
-        self.nodes = self.nodes.unionByName(add).localCheckpoint(eager=True)
+        stored = self._quantize_nodes(add) if self.quantized else add
+        self.nodes = self.nodes.unionByName(stored).localCheckpoint(eager=True)
         return stats
 
-    def measure_recall(self, queries: DataFrame, k: int = 10, ring: int = 2) -> float:
+    def measure_recall(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        ring: int = 2,
+        exact_nodes: DataFrame | None = None,
+    ) -> float:
         """recall@k of this index's search vs exact brute force over the
-        same queries — the number save() embeds for drift detection."""
+        same queries — the number save() embeds for drift detection.
+        Offline check: runs a full exact kNN over the corpus per call.
+        A quantized index stores no float corpus, so the exact baseline
+        must be passed in (``exact_nodes`` = (node_id, embedding))."""
+        if exact_nodes is None:
+            if self.quantized:
+                raise ValueError(
+                    "quantized index stores no float corpus — pass "
+                    "exact_nodes=(node_id, embedding) for the exact baseline"
+                )
+            exact_nodes = self.nodes
         approx = self.search(queries, k=k, ring=ring).select("query_id", "node_id")
-        exact = brute_force_knn(queries, self.nodes, k=k).select("query_id", "node_id")
+        exact = brute_force_knn(queries, exact_nodes, k=k).select("query_id", "node_id")
         hit = approx.join(exact, ["query_id", "node_id"], "inner").count()
         total = exact.count()
         return hit / total if total else 1.0
@@ -283,7 +327,16 @@ class TileAnnIndex:
             )
             cands = c if cands is None else cands.unionByName(c)
         cands = cands.dropDuplicates(["query_id", "node_id"])
-        scored = _score_candidates(cands.join(self.nodes, "node_id"), q, strategy=scoring)
+        if self.quantized:
+            from raptor_rag_spark.operators.knn import _score_candidates_quantized
+
+            scored = _score_candidates_quantized(
+                cands.join(self.nodes, "node_id"), q, strategy=scoring
+            )
+        else:
+            scored = _score_candidates(
+                cands.join(self.nodes, "node_id"), q, strategy=scoring
+            )
         return _rank_and_take(scored, k)
 
 

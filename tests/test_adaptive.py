@@ -303,3 +303,94 @@ def test_ann_index_append_recall_drift_and_save(spark, points, tmp_path):
     idx2 = TileAnnIndex.load(spark, p)
     assert idx2.nodes.count() == 3000
     assert idx2.max_occupancy == 64
+
+
+def _real_vectors(spark):
+    """Well-separated real testdata embeddings (dim 64). The skewed
+    blob fixture has ~1500 pairwise-near-identical vectors (cos within
+    1e-4), where the +-3e-3 int8 quantization error legitimately
+    reshuffles top-k — recall vs exact is only a meaningful metric on a
+    corpus whose neighbors are separated by more than the quantization
+    noise (true of real embedding spaces; asserted by the recall floor
+    on THIS data)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return (
+        emb.select(F.col("vec_id").alias("node_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_ann_index_quantized_mode(spark, tmp_path):
+    """quantized=True: the index stores int8 scoring columns only (no
+    float corpus), tiling is identical to the float index (projections
+    computed pre-quantization), search recall holds, measure_recall
+    demands an explicit exact baseline, save/load round-trips the mode,
+    and append keeps the stored corpus quantized."""
+    import pytest as _p
+
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    points = _real_vectors(spark)
+    kw = dict(
+        id_col="node_id", dim=64, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    fidx = TileAnnIndex(points, **kw)
+    qidx = TileAnnIndex(points, quantized=True, **kw)
+    assert set(qidx.nodes.columns) == {"node_id", "q_vec", "q_scale"}
+    # identical tiling: quantization touches scoring only
+    ft = sorted(map(tuple, fidx.views[0][2].collect()))
+    qt = sorted(map(tuple, qidx.views[0][2].collect()))
+    assert ft == qt
+
+    q = points.limit(32).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = points.select("node_id", "embedding")
+    with _p.raises(ValueError, match="exact_nodes"):
+        qidx.measure_recall(q, k=5, ring=2)
+    rec = qidx.measure_recall(q, k=5, ring=2, exact_nodes=exact)
+    assert rec >= 0.8, rec
+    # quantized vs float search agree on nearly all neighbors
+    fk = fidx.search(q, k=5, ring=2).select("query_id", "node_id")
+    qk = qidx.search(q, k=5, ring=2).select("query_id", "node_id")
+    overlap = fk.intersect(qk).count() / fk.count()
+    assert overlap >= 0.9, overlap
+
+    p = str(tmp_path / "ann_idx_q")
+    qidx.save(p, recall=rec)
+    q2 = TileAnnIndex.load(spark, p)
+    assert q2.quantized is True
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(q2.search(q, k=5, ring=2)) == key(qidx.search(q, k=5, ring=2))
+
+
+def test_ann_index_quantized_append_equals_rebuild(spark):
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    points = _real_vectors(spark)
+    n = points.count()
+    cut = int(n * 0.85)
+    kw = dict(
+        id_col="node_id", dim=64, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7, quantized=True,
+    )
+    initial = points.filter(F.col("node_id") < cut).localCheckpoint(eager=True)
+    extra = points.filter(F.col("node_id") >= cut).localCheckpoint(eager=True)
+    idx = TileAnnIndex(initial, **kw)
+    idx.append(extra.select("node_id", "embedding"))
+    full = TileAnnIndex(points, **kw)
+    assert set(idx.nodes.columns) == {"node_id", "q_vec", "q_scale"}
+    assert idx.nodes.count() == n
+    a = sorted(map(tuple, idx.views[0][2].collect()))
+    b = sorted(map(tuple, full.views[0][2].collect()))
+    assert a == b
+    q = points.limit(16).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(idx.search(q, k=5, ring=2)) == key(full.search(q, k=5, ring=2))
