@@ -304,3 +304,49 @@ def test_append_level_idempotent_under_retry(spark, tmp_path_factory):
     lvl = spark.read.parquet(_level_path(base, 0))
     assert lvl.count() == rows0 + 2 * n_delta
     assert lvl.select("node_id").distinct().count() == rows0 + 2 * n_delta
+
+
+def test_streamed_pages_feed_ann_index_append(spark, tmp_path_factory):
+    """Crawl-scale ingest story for the ANN index: pages arrive via
+    Structured Streaming (stream_pages -> level-0 node rows), then
+    TileAnnIndex.append folds them in — equal to an index rebuilt from
+    scratch over the merged corpus (the FAISS-add analog, without the
+    reference's full rebuild)."""
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    src = str(tmp_path_factory.mktemp("ann_src"))
+    chk = str(tmp_path_factory.mktemp("ann_chk"))
+    out = str(tmp_path_factory.mktemp("ann_out"))
+
+    initial = incremental_level0(synthetic_pages(spark, n=40, seed=31)).select(
+        "node_id", "embedding"
+    ).localCheckpoint(eager=True)
+    kw = dict(
+        id_col="node_id", dim=64, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    idx = TileAnnIndex(initial, **kw)
+
+    synthetic_pages(spark, n=10, seed=32).withColumn(
+        "page_id", F.col("page_id") + 7000
+    ).write.mode("overwrite").parquet(src)
+    q = stream_pages(spark, src, chk, out)
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out).select("node_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    assert streamed.count() > 0
+    idx.append(streamed)
+
+    merged = initial.unionByName(streamed)
+    full = TileAnnIndex(merged, **kw)
+    a = sorted(map(tuple, idx.views[0][2].collect()))
+    b = sorted(map(tuple, full.views[0][2].collect()))
+    assert a == b
+    queries = merged.limit(8).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(idx.search(queries, k=5, ring=2)) == key(full.search(queries, k=5, ring=2))
