@@ -241,6 +241,22 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
     urls = sorted(r["url"] for r in got.select("url").collect())
     assert urls == ["http://a/1", "http://a/2", "http://a/3"]
 
+    # batch equivalence (the COVERAGE.md exemption's backing claim):
+    # within the watermark window the streaming dedup keeps exactly the
+    # first row per key — identical to the batch first-per-key window
+    from pyspark.sql import Window
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    want = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "warc_ts", "text")
+    )
+    assert sorted(map(tuple, got.select("url", "warc_ts", "text").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
 
 def test_append_level_idempotent_under_retry(spark, tmp_path_factory):
     """Crash-safety of the level-0 ingest append (round-3 advice):
