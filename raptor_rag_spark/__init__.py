@@ -34,4 +34,4 @@ def engine(*args, **kwargs):
 
 
 __all__ = ["EngineConfig", "engine"]
-__version__ = "0.2.0"
+__version__ = "0.4.0"
