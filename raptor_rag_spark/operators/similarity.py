@@ -113,7 +113,12 @@ class TileAnnIndex:
             .localCheckpoint(eager=True)
         )
 
-    def save(self, path: str, recall: float | None = None) -> None:
+    def _bk_col(self):
+        return cell_key_col(F.col("x"), F.col("y"), self.base_resolution).alias("_bk")
+
+    def save(
+        self, path: str, recall: float | None = None, partition_by_base: bool = True
+    ) -> None:
         """Persist the index: nodes + per-view tile tables as parquet,
         parameters as JSON — load() reconstructs WITHOUT recomputing
         projections or occupancy (the build cost). With
@@ -122,7 +127,15 @@ class TileAnnIndex:
         load() runs NO Spark job to rebuild them. ``recall`` (e.g. from
         measure_recall) is stored for drift detection: re-measure after
         an append and compare. Layout: <path>/meta.json, nodes.parquet,
-        view-<seed>/{xy,atiles}.parquet."""
+        view-<seed>/{xy,atiles}.parquet.
+
+        ``partition_by_base`` (default) physically partitions each
+        view's xy/atiles by the base-resolution cell key (``_bk`` dirs,
+        bounded by the base grid size) — the base cell is the closed
+        recompute unit of incremental maintenance, so
+        :meth:`append_persisted` can replace ONLY affected partition
+        directories (dynamic partition overwrite), exactly like the
+        tree's prefix-partitioned level checkpoints."""
         import json
         import os
 
@@ -131,12 +144,28 @@ class TileAnnIndex:
         seeds, keys = [], {}
         for seed, xy, atiles, pop in self.views:
             vd = os.path.join(path, f"view-{seed}")
-            xy.write.mode("overwrite").parquet(os.path.join(vd, "xy.parquet"))
-            atiles.write.mode("overwrite").parquet(os.path.join(vd, "atiles.parquet"))
+            if partition_by_base:
+                bk_map = xy.select("node_id", self._bk_col())
+                (
+                    xy.withColumn("_bk", self._bk_col())
+                    .write.mode("overwrite")
+                    .partitionBy("_bk")
+                    .parquet(os.path.join(vd, "xy.parquet"))
+                )
+                (
+                    atiles.join(bk_map, "node_id")
+                    .write.mode("overwrite")
+                    .partitionBy("_bk")
+                    .parquet(os.path.join(vd, "atiles.parquet"))
+                )
+            else:
+                xy.write.mode("overwrite").parquet(os.path.join(vd, "xy.parquet"))
+                atiles.write.mode("overwrite").parquet(os.path.join(vd, "atiles.parquet"))
             seeds.append(seed)
             if isinstance(pop, set):
                 keys[str(seed)] = sorted(pop)
         meta = {
+            "partitioned_by_base": partition_by_base,
             "dim": self.dim,
             "id_col": self.id_col,
             "membership": self.membership,
@@ -179,6 +208,10 @@ class TileAnnIndex:
             vd = os.path.join(path, f"view-{seed}")
             xy = spark.read.parquet(os.path.join(vd, "xy.parquet"))
             atiles = spark.read.parquet(os.path.join(vd, "atiles.parquet"))
+            if "_bk" in xy.columns:  # partitioned layout: drop the dir key
+                xy = xy.drop("_bk")
+            if "_bk" in atiles.columns:
+                atiles = atiles.drop("_bk")
             if self.membership == "join":
                 populated: set[int] | DataFrame = atiles.select("cell_key").distinct()
             elif str(seed) in saved_keys:
@@ -271,6 +304,106 @@ class TileAnnIndex:
         self.views = new_views
         stored = self._quantize_nodes(add) if self.quantized else add
         self.nodes = self.nodes.unionByName(stored).localCheckpoint(eager=True)
+        return stats
+
+    def append_persisted(self, path: str, new_nodes: DataFrame) -> dict:
+        """Incremental maintenance of a PERSISTED index (the crawl-scale
+        ingest path): like :meth:`append`, but against the saved layout —
+        per view, only the affected base-cell PARTITION DIRECTORIES are
+        read (partition pruning on ``_bk``) and replaced (dynamic
+        partition overwrite); untouched partition files are never read
+        or written (pytest: byte-identical). New node rows append as
+        immutable files. This mirrors the tree's prefix-partitioned
+        level checkpoints (streaming/incremental.py), so a 10^12-node
+        persisted index absorbs a batch at O(affected-cells) I/O
+        instead of a full rewrite.
+
+        Requires a ``save(partition_by_base=True)`` layout (the
+        default). The in-memory views are re-pointed at the updated
+        storage (lazy reads). Returns per-view stats."""
+        import json
+        import os
+
+        spark = self.nodes.sparkSession
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if not meta.get("partitioned_by_base"):
+            raise ValueError(
+                "append_persisted needs a save(partition_by_base=True) layout; "
+                "re-save the index first"
+            )
+        add = new_nodes.select(
+            F.col(self.id_col).alias("node_id"), "embedding"
+        ).localCheckpoint(eager=True)
+        stats: dict = {}
+        keys_meta = meta.get("populated_keys", {})
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for seed in meta["seeds"]:
+                vd = os.path.join(path, f"view-{seed}")
+                xy_path = os.path.join(vd, "xy.parquet")
+                at_path = os.path.join(vd, "atiles.parquet")
+                new_xy = reduce_2d(add, dim=self.dim, seed=seed).withColumn(
+                    "_bk", self._bk_col()
+                )
+                # affected base cells: bounded by the batch (and by the
+                # base grid); the driver-side list IS the partition
+                # filter, same shape as the tree's affected-cell list
+                aff = sorted(
+                    int(r["_bk"]) for r in new_xy.select("_bk").distinct().collect()
+                )
+                old_xy = spark.read.parquet(xy_path)
+                # pinned BEFORE the overwrite: this plan reads the very
+                # partition files the write below replaces
+                in_aff = (
+                    old_xy.filter(F.col("_bk").isin(aff))
+                    .unionByName(new_xy)
+                    .localCheckpoint(eager=True)
+                )
+                retiled = adaptive_tile_assignments(
+                    in_aff.drop("_bk"),
+                    "node_id",
+                    self.base_resolution,
+                    self.max_occupancy,
+                    self.max_resolution,
+                    strategy=self.membership,
+                ).join(in_aff.select("node_id", "_bk"), "node_id").localCheckpoint(
+                    eager=True
+                )
+                old_at = spark.read.parquet(at_path)
+                dropped = {
+                    int(r["cell_key"])
+                    for r in old_at.filter(F.col("_bk").isin(aff))
+                    .select("cell_key")
+                    .distinct()
+                    .collect()
+                }
+                added = {
+                    int(r["cell_key"])
+                    for r in retiled.select("cell_key").distinct().collect()
+                }
+                retiled.write.mode("overwrite").partitionBy("_bk").parquet(at_path)
+                in_aff.write.mode("overwrite").partitionBy("_bk").parquet(xy_path)
+                spark.catalog.refreshByPath(at_path)
+                spark.catalog.refreshByPath(xy_path)
+                if str(seed) in keys_meta:
+                    old_keys = {int(k) for k in keys_meta[str(seed)]}
+                    keys_meta[str(seed)] = sorted((old_keys - dropped) | added)
+                stats[seed] = {
+                    "affected_base_cells": len(aff),
+                    "retiled_rows": retiled.count(),
+                }
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        stored = self._quantize_nodes(add) if self.quantized else add
+        stored.write.mode("append").parquet(os.path.join(path, "nodes.parquet"))
+        meta["populated_keys"] = keys_meta
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh, indent=1)
+        # re-point the in-memory state at the updated storage
+        fresh = TileAnnIndex.load(spark, path)
+        self.nodes, self.views = fresh.nodes, fresh.views
         return stats
 
     def measure_recall(

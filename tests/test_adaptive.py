@@ -394,3 +394,83 @@ def test_ann_index_quantized_append_equals_rebuild(spark):
         (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
     )
     assert key(idx.search(q, k=5, ring=2)) == key(full.search(q, k=5, ring=2))
+
+
+def test_ann_index_append_persisted_partial_io(spark, points, tmp_path):
+    """Persisted incremental maintenance: append_persisted replaces
+    ONLY affected base-cell partition directories (untouched partition
+    files byte-identical — the same discipline as the tree's
+    prefix-partitioned levels) and the reloaded index equals a
+    from-scratch build over the merged corpus."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    initial = points.filter(F.col("node_id") < 2500).localCheckpoint(eager=True)
+    extra = points.filter(F.col("node_id") >= 2500).localCheckpoint(eager=True)
+    kw = dict(
+        id_col="node_id", dim=DIM, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    p = str(tmp_path / "ann_persist")
+    TileAnnIndex(initial, **kw).save(p)
+
+    def _file_hashes(root):
+        out = {}
+        for f in glob.glob(os.path.join(root, "view-224", "*", "_bk=*", "*.parquet")):
+            out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    before = _file_hashes(p)
+    idx = TileAnnIndex.load(spark, p)
+    stats = idx.append_persisted(p, extra.select("node_id", "embedding"))
+    after = _file_hashes(p)
+
+    # some partitions replaced, and every surviving untouched file is
+    # byte-identical
+    untouched = [f for f in before if f in after]
+    assert untouched, "expected some untouched partition files"
+    assert all(before[f] == after[f] for f in untouched)
+    aff = stats[224]["affected_base_cells"]
+    total_base_dirs = len(
+        glob.glob(os.path.join(p, "view-224", "atiles.parquet", "_bk=*"))
+    )
+    assert 0 < aff <= total_base_dirs
+
+    # reloaded index == from-scratch over the merged corpus
+    full = TileAnnIndex(points, **kw)
+    got = TileAnnIndex.load(spark, p)
+    a = sorted(map(tuple, got.views[0][2].select("node_id", "resolution", "cell_key").collect()))
+    b = sorted(map(tuple, full.views[0][2].select("node_id", "resolution", "cell_key").collect()))
+    assert a == b
+    assert got.views[0][3] == full.views[0][3]  # key sets
+    assert got.nodes.count() == 3000
+    meta = json.load(open(os.path.join(p, "meta.json")))
+    assert sorted(meta["populated_keys"]["224"]) == sorted(full.views[0][3])
+
+    q = points.limit(12).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    assert key(got.search(q, k=5, ring=2)) == key(full.search(q, k=5, ring=2))
+
+
+def test_ann_index_append_persisted_requires_partitioned_layout(spark, points, tmp_path):
+    import pytest as _p
+
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    kw = dict(
+        id_col="node_id", dim=DIM, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    p = str(tmp_path / "ann_flat")
+    TileAnnIndex(points, **kw).save(p, partition_by_base=False)
+    idx = TileAnnIndex.load(spark, p)
+    with _p.raises(ValueError, match="partition_by_base"):
+        idx.append_persisted(p, points.limit(5).select("node_id", "embedding"))
