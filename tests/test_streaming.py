@@ -366,3 +366,94 @@ def test_streamed_pages_feed_ann_index_append(spark, tmp_path_factory):
         (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
     )
     assert key(idx.search(queries, k=5, ring=2)) == key(full.search(queries, k=5, ring=2))
+
+
+def test_crawl_day_end_to_end(spark, tmp_path_factory):
+    """The whole §2.10 ingest story in one pipeline: a day's crawl
+    arrives via Structured Streaming WITH a planted recrawl duplicate →
+    dedup_stream drops it inside the watermark → level-0 rows feed BOTH
+    the tree (incremental_update, affected cells only) and the
+    persisted ANN index (append_persisted, affected partitions only) →
+    retrieval and index search both see the new content and agree with
+    from-scratch rebuilds."""
+    import datetime as dt
+
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+    from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.streaming.incremental import dedup_stream, incremental_update
+
+    root = tmp_path_factory.mktemp("crawlday")
+    src, ck, out = str(root / "src"), str(root / "ck"), str(root / "out")
+    tree_base, tree_all = str(root / "tree"), str(root / "tree_all")
+    idx_path = str(root / "idx")
+
+    # yesterday's corpus: tree + persisted ANN index
+    initial_pages = synthetic_pages(spark, n=40, seed=51)
+    leaves0 = incremental_level0(initial_pages).localCheckpoint(eager=True)
+    build_tree(spark, leaves0, tree_base, DEFAULT_CONFIG, start_resolution=3)
+    kw = dict(
+        id_col="node_id", dim=64, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    TileAnnIndex(leaves0.select("node_id", "embedding"), **kw).save(idx_path)
+
+    # today's crawl: 8 fresh pages + 1 recrawl of an existing url
+    fresh = synthetic_pages(spark, n=8, seed=52).withColumn(
+        "page_id", F.col("page_id") + 8000
+    )
+    recrawl = initial_pages.limit(1).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    batch = fresh.unionByName(initial_pages.limit(1)).unionByName(recrawl)
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        dedup_stream(stream, key_cols=("url",), watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    deduped = spark.read.parquet(out)
+    # the recrawl was dropped; the url survives once
+    assert deduped.count() == 9
+    new_pages = deduped.join(
+        initial_pages.select("url"), "url", "left_anti"
+    ).localCheckpoint(eager=True)
+    assert new_pages.count() == 8
+
+    new_leaves = incremental_level0(new_pages).localCheckpoint(eager=True)
+    got_tree = incremental_update(
+        spark, tree_base, new_leaves, DEFAULT_CONFIG, start_resolution=3
+    )
+    want_tree = build_tree(
+        spark, leaves0.unionByName(new_leaves), tree_all, DEFAULT_CONFIG,
+        start_resolution=3, resume=False,
+    )
+    cols = ["node_id", "layer", "cell_id", "text", "n_tokens"]
+    assert sorted(map(tuple, got_tree.select(*cols).collect())) == sorted(
+        map(tuple, want_tree.select(*cols).collect())
+    )
+
+    idx = TileAnnIndex.load(spark, idx_path)
+    idx.append_persisted(idx_path, new_leaves.select("node_id", "embedding"))
+    merged = leaves0.select("node_id", "embedding").unionByName(
+        new_leaves.select("node_id", "embedding")
+    )
+    full = TileAnnIndex(merged, **kw)
+    queries = new_leaves.limit(4).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["node_id"], r["rank"]) for r in df.collect()
+    )
+    got_k = key(idx.search(queries, k=5, ring=2))
+    assert got_k == key(full.search(queries, k=5, ring=2))
+    # new content is findable: each new-chunk query's rank-1 is itself
+    assert {qid for qid, _, r in [(a, b, c) for a, b, c in got_k] if r == 1} == {
+        r["query_id"] for r in queries.select("query_id").collect()
+    }
