@@ -46,6 +46,13 @@ def quantize_embeddings(
                     scales.append(None)
                     continue
                 arr = np.asarray(v, dtype=np.float64)
+                if arr.size and not np.isfinite(arr).all():
+                    # NaN/Inf would flow through round().astype(int8) as
+                    # silent implementation-defined garbage — fail loudly
+                    raise ValueError(
+                        "quantize_embeddings: non-finite value in embedding "
+                        "(NaN/Inf); clean the vector column first"
+                    )
                 m = float(np.max(np.abs(arr))) if arr.size else 0.0
                 scale = m / 127.0
                 q = (

@@ -144,3 +144,29 @@ def test_quantize_null_and_zero_vectors(spark):
     assert rows[0]["q_vec"] == [0, 0] and rows[0]["q_scale"] == 0.0
     assert rows[1]["q_vec"] is None and rows[1]["q_scale"] is None
     assert rows[2]["q_vec"][1] == -127
+
+
+def test_quantize_rejects_non_finite(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, float("nan")])], "id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        quantize_embeddings(df).collect()
+
+
+def test_quantized_join_plan_is_cogroup_no_broadcast(spark):
+    """The join strategy's physical plan: a FlatMapCoGroupsInPandas over
+    the two block-hashed sides, NO BroadcastExchange and no cartesian —
+    the corpus side stays its own (int8) Arrow stream."""
+    _, nodes_q, queries = _corpus(spark)
+    out = brute_force_knn_quantized(queries, nodes_q, k=5, strategy="join")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "Cartesian" not in plan
+    # node-side schema through the cogroup is still the tinyint array
+    assert dict(out.sparkSession.createDataFrame([], nodes_q.schema).dtypes)[
+        "q_vec"
+    ] == "array<tinyint>"
