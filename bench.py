@@ -396,6 +396,65 @@ def main() -> None:
         ).count()
 
     timed("incremental_append_1pct", _incremental_append)
+
+    def _recompute_frac() -> float:
+        """sum(recomputed parents)/sum(parents) over levels >= 1 of the
+        bench tree's manifests — how much of the tree the last append
+        actually re-ran (the O(affected) claim as a measured number)."""
+        import json as _json
+
+        from raptor_rag_spark.operators.tree import _manifest_path
+
+        rec = tot = 0
+        lvl = 1
+        while os.path.exists(_manifest_path(tree_holder["base"], lvl)):
+            m = _json.load(open(_manifest_path(tree_holder["base"], lvl)))
+            rec += int(m["lineage"].get("recomputed_parents", m["rows"]))
+            tot += int(m["rows"])
+            lvl += 1
+        return round(rec / tot, 4) if tot else 0.0
+
+    tree_holder["scattered_frac"] = _recompute_frac()
+
+    def _incremental_append_clustered():
+        """The locality case the scattered append above cannot show: a
+        topically-clustered recrawl batch (all new leaves land in ONE
+        start-resolution cell, e.g. a re-crawled site). Affected-cell
+        maintenance recomputes only that cell's lineage up the tree —
+        the recompute fraction is recorded alongside the scattered
+        worst case, which degenerates to ~full rebuild by design
+        (uniform 1%% of docs touches ~every base cell)."""
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.config import EngineConfig
+        from raptor_rag_spark.operators.tile import tile
+        from raptor_rag_spark.operators.tree import read_level
+        from raptor_rag_spark.streaming.incremental import incremental_update
+
+        cfg = EngineConfig(embedding_dim=DIM)
+        lvl0 = read_level(spark, tree_holder["base"], 0).select(
+            "node_id", "text", "n_tokens", "embedding", "x", "y"
+        )
+        tiled = tile(lvl0, 4)
+        modal = (
+            tiled.groupBy("cell_id").count()
+            .orderBy(F.desc("count"), "cell_id").first()
+        )
+        tree_holder["clustered_rows"] = int(modal["count"])
+        delta = (
+            tiled.filter(F.col("cell_id") == modal["cell_id"])
+            .select("node_id", "text", "n_tokens", "embedding", "x", "y")
+            .withColumn(
+                "node_id", F.xxhash64(F.col("node_id"), F.lit("bench-clustered"))
+            )
+        )
+        incremental_update(
+            spark, tree_holder["base"], delta, cfg,
+            start_resolution=4, max_layers=6, embed_dim=DIM,
+        ).count()
+
+    timed("incremental_append_clustered", _incremental_append_clustered)
+    tree_holder["clustered_frac"] = _recompute_frac()
     corpus = {}
     timed("corpus_materialize", lambda: corpus.update(zip(("nodes", "tiles"), corpus_nodes(spark, SF_DIR))))
     timed("knn_tiled_200q", lambda: knn_flagship(spark, corpus["nodes"], corpus["tiles"], 200, 10))
@@ -605,6 +664,9 @@ def main() -> None:
             "multiproj_queries_per_sec": round(
                 200 / timings["ann_index_search_2proj_200q"], 2
             ),
+            "incremental_scattered_recompute_frac": tree_holder.get("scattered_frac"),
+            "incremental_clustered_recompute_frac": tree_holder.get("clustered_frac"),
+            "incremental_clustered_rows": tree_holder.get("clustered_rows"),
         },
     }
     spark.stop()
