@@ -284,3 +284,27 @@ class RaptorEngine:
         from raptor_rag_spark.sources.catalog import get_catalog
 
         return get_catalog(self.spark, root)
+
+    def materialize_node_store(
+        self,
+        table: str = "raptor_nodes",
+        n_buckets: int = 32,
+        path: str | None = None,
+        nodes: DataFrame | None = None,
+    ) -> DataFrame:
+        """One-time bucketed write of the collapsed node table
+        (bucketBy node_id) so every subsequent retrieval join and
+        per-node aggregation is exchange-free on the node side; swaps
+        ``self.nodes`` to the bucketed scan. See sources/bucketed.py
+        for the 100 TB argument."""
+        from raptor_rag_spark.sources.bucketed import write_bucketed
+
+        src = nodes if nodes is not None else self.nodes
+        if src is None:
+            raise ValueError("no tree built and no nodes given")
+        stored = write_bucketed(
+            src, table, bucket_cols=("node_id",), n_buckets=n_buckets, path=path
+        )
+        if nodes is None:
+            self.nodes = stored
+        return stored
