@@ -1,0 +1,136 @@
+"""Physical-plan audit of every driver-contract query.
+
+For each `__spark_entry__.queries()` entry, captures the pre-execution
+physical plan and reports the properties the 100 TB design claims rest
+on:
+
+- shuffle Exchange count (lower = fewer full-data re-distributions);
+- FileScan column pruning (ReadSchema width vs the parquet schema) and
+  predicate pushdown (PushedFilters non-empty when the query filters
+  base tables);
+- WholeStageCodegen span count (JVM-compiled expression coverage);
+- hard violations: `BatchEvalPython` (row-at-a-time Python UDF — this
+  engine's contract is Arrow-only Python) and `CartesianProduct`
+  (all-pairs join that cannot survive scale).
+
+Writes PLAN_AUDIT.md at the repo root and exits non-zero on any hard
+violation. Plan capture does not execute the query, but some query
+fns materialize shared state (the memoized leaf pipeline, tree
+checkpoints) while CONSTRUCTING the DataFrame — run time is dominated
+by those, not by the audit itself.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from raptor_rag_spark.session import get_spark  # noqa: E402
+
+
+def plan_string(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_one(name: str, df) -> dict:
+    plan = plan_string(df)
+    lines = plan.splitlines()
+    scans = []
+    for ln in lines:
+        if "FileScan parquet" not in ln:
+            continue
+        m = re.search(r"ReadSchema: struct<([^>]*)>", ln)
+        ncols = len(m.group(1).split(",")) if m and m.group(1) else 0
+        pushed = bool(re.search(r"PushedFilters: \[[^\]]", ln))
+        tbl = re.search(r"FileScan parquet [^\[]*\[", ln)
+        scans.append({"cols": ncols, "pushed": pushed})
+    return {
+        "name": name,
+        "exchanges": len(re.findall(r"Exchange (hash|range)partitioning", plan)),
+        "single_part": len(re.findall(r"Exchange SinglePartition", plan)),
+        # codegen spans render as "*(n) Op" prefixes in the plan string
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "scans": scans,
+        "arrow_python": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas", plan)
+        ),
+        "batch_eval_python": len(re.findall(r"BatchEvalPython", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "bnl_join": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # AQE wraps plans in AdaptiveSparkPlan whose pre-execution string
+    # hides codegen annotation; audit the static plan (AQE off) so
+    # `*(n)` spans are visible. Production/bench sessions run AQE-on —
+    # AQE only re-plans exchanges downward (coalesce, skew-split,
+    # broadcast demotion), so the static audit is the conservative view.
+    spark = get_spark(
+        "plan-audit", extra_conf={"spark.sql.adaptive.enabled": "false"}
+    )
+    rows = []
+    errors = []
+    for name, fn in entrymod.queries().items():
+        try:
+            rows.append(audit_one(name, fn(spark, sf_dir)))
+        except Exception as exc:  # noqa: BLE001 — audit must report, not die
+            errors.append((name, repr(exc)[:200]))
+    viol = [r for r in rows if r["batch_eval_python"] or r["cartesian"]]
+
+    out = ["# PLAN_AUDIT — physical plans of all contract queries", ""]
+    out.append(f"sf_dir: `{sf_dir}` · queries audited: {len(rows)} · errors: {len(errors)}")
+    out.append("")
+    out.append(
+        f"Totals: {sum(r['exchanges'] for r in rows)} hash/range exchanges, "
+        f"{sum(r['single_part'] for r in rows)} single-partition exchanges, "
+        f"{sum(len(r['scans']) for r in rows)} parquet scans "
+        f"({sum(1 for r in rows for s in r['scans'] if s['pushed'])} with pushed filters), "
+        f"{sum(r['arrow_python'] for r in rows)} Arrow-Python operators, "
+        f"**{sum(r['batch_eval_python'] for r in rows)} row-at-a-time Python operators**, "
+        f"**{sum(r['cartesian'] for r in rows)} cartesian products**."
+    )
+    out.append("")
+    out.append("| query | exchanges | 1-part | codegen spans | scans (cols / pushed) | arrow py | BNLJ |")
+    out.append("|---|---|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: (-r["exchanges"], r["name"])):
+        scan_s = ", ".join(
+            f"{s['cols']}c{'+pf' if s['pushed'] else ''}" for s in r["scans"]
+        ) or "—"
+        out.append(
+            f"| {r['name']} | {r['exchanges']} | {r['single_part']} | {r['codegen']} "
+            f"| {scan_s} | {r['arrow_python']} | {r['bnl_join']} |"
+        )
+    if errors:
+        out.append("")
+        out.append("## Errors")
+        for name, e in errors:
+            out.append(f"- `{name}`: {e}")
+    out.append("")
+    out.append(
+        "Notes: single-partition exchanges appear only in deliberately tiny "
+        "final steps (global VALUES-sized results); BroadcastNestedLoopJoin "
+        "appears only where the build side is a bounded literal/metadata "
+        "relation. Arrow-Python counts are the engine's pandas-UDF kernels "
+        "(scoring matmuls, summarizers, shingle/fingerprint kernels) — "
+        "row-at-a-time `BatchEvalPython` must stay 0."
+    )
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md"), "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print(f"audited {len(rows)} queries; violations: {len(viol)}; errors: {len(errors)}")
+    for r in viol:
+        print("VIOLATION:", r["name"], "batch_eval_python=", r["batch_eval_python"], "cartesian=", r["cartesian"])
+    for name, e in errors:
+        print("ERROR:", name, e)
+    return 1 if viol or errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
