@@ -320,7 +320,17 @@ class TileAnnIndex:
 
         Requires a ``save(partition_by_base=True)`` layout (the
         default). The in-memory views are re-pointed at the updated
-        storage (lazy reads). Returns per-view stats."""
+        storage (lazy reads). Returns per-view stats.
+
+        Crash-safe + idempotent under retry (the same discipline as
+        the tree's ``append_level``): the batch's content-derived id is
+        recorded in meta.json LAST, so a retry after a post-commit
+        crash no-ops; a retry after a MID-crash is made exact-once by
+        (a) anti-joining the batch's node_ids out of the re-read
+        affected partitions before the re-tile (so a half-applied xy/
+        atiles overwrite replays to the same rows), and (b) staging
+        the nodes.parquet delta under id-named part files with
+        leftover scrubbing (so node rows land exactly once)."""
         import json
         import os
 
@@ -335,7 +345,14 @@ class TileAnnIndex:
         add = new_nodes.select(
             F.col(self.id_col).alias("node_id"), "embedding"
         ).localCheckpoint(eager=True)
-        stats: dict = {}
+        agg = add.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("node_id"), F.lit(1 << 31))).alias("h"),
+        ).first()
+        append_id = f"n{agg['n']}h{agg['h'] or 0}"
+        if append_id in meta.get("appends", []):
+            return {"already_applied": append_id}
+        stats: dict = {"append_id": append_id}
         keys_meta = meta.get("populated_keys", {})
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -355,9 +372,13 @@ class TileAnnIndex:
                 )
                 old_xy = spark.read.parquet(xy_path)
                 # pinned BEFORE the overwrite: this plan reads the very
-                # partition files the write below replaces
+                # partition files the write below replaces. The anti-join
+                # drops any batch rows a crashed earlier attempt already
+                # wrote into these partitions — the replay converges to
+                # the same row set instead of duplicating the batch.
                 in_aff = (
                     old_xy.filter(F.col("_bk").isin(aff))
+                    .join(add.select("node_id"), "node_id", "left_anti")
                     .unionByName(new_xy)
                     .localCheckpoint(eager=True)
                 )
@@ -397,8 +418,30 @@ class TileAnnIndex:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         stored = self._quantize_nodes(add) if self.quantized else add
-        stored.write.mode("append").parquet(os.path.join(path, "nodes.parquet"))
+        # exact-once node-row append: stage under an inflight dir, rename
+        # into the live dir under id-named part files (scrubbing leftovers
+        # of a crashed earlier attempt of THIS id), commit meta LAST
+        import glob as _glob
+        import shutil as _shutil
+
+        nodes_path = os.path.join(path, "nodes.parquet")
+        for leftover in _glob.glob(
+            os.path.join(nodes_path, f"part-append-{append_id}-*")
+        ):
+            os.remove(leftover)
+        inflight = os.path.join(nodes_path, f"_inflight_{append_id}")
+        _shutil.rmtree(inflight, ignore_errors=True)
+        stored.write.mode("overwrite").parquet(inflight)
+        for i, src in enumerate(sorted(_glob.glob(os.path.join(inflight, "part-*")))):
+            bn = os.path.basename(src)
+            ext = bn[bn.index(".") :] if "." in bn else ".parquet"
+            os.replace(
+                src, os.path.join(nodes_path, f"part-append-{append_id}-{i:05d}{ext}")
+            )
+        _shutil.rmtree(inflight, ignore_errors=True)
+        spark.catalog.refreshByPath(nodes_path)
         meta["populated_keys"] = keys_meta
+        meta.setdefault("appends", []).append(append_id)
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(meta, fh, indent=1)
         # re-point the in-memory state at the updated storage

@@ -474,3 +474,57 @@ def test_ann_index_append_persisted_requires_partitioned_layout(spark, points, t
     idx = TileAnnIndex.load(spark, p)
     with _p.raises(ValueError, match="partition_by_base"):
         idx.append_persisted(p, points.limit(5).select("node_id", "embedding"))
+
+
+def test_ann_index_append_persisted_retry_exact_once(spark, points, tmp_path):
+    """Retry discipline (mirrors the tree's append_level): a repeat of
+    the same batch after the meta commit no-ops; a replay of a MID-crash
+    (meta record missing, partitions possibly half-updated) converges to
+    the same rows — no duplicated batch anywhere."""
+    import json
+    import os
+
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    initial = points.filter(F.col("node_id") < 2500).localCheckpoint(eager=True)
+    extra = points.filter(F.col("node_id") >= 2500).localCheckpoint(eager=True)
+    kw = dict(
+        id_col="node_id", dim=DIM, seeds=(224,), base_resolution=2,
+        max_occupancy=64, max_resolution=7,
+    )
+    p = str(tmp_path / "ann_retry")
+    TileAnnIndex(initial, **kw).save(p)
+    idx = TileAnnIndex.load(spark, p)
+    stats = idx.append_persisted(p, extra.select("node_id", "embedding"))
+    aid = stats["append_id"]
+
+    def _snapshot():
+        got = TileAnnIndex.load(spark, p)
+        return (
+            sorted(map(tuple, got.views[0][1].select("node_id").collect())),
+            sorted(map(tuple, got.views[0][2].select("node_id", "resolution", "cell_key").collect())),
+            sorted(map(tuple, got.nodes.select("node_id").collect())),
+            got.views[0][3],
+        )
+
+    applied = _snapshot()
+    assert len(applied[2]) == 3000  # no duplicates after first apply
+
+    # post-commit retry: no-op
+    again = TileAnnIndex.load(spark, p).append_persisted(
+        p, extra.select("node_id", "embedding")
+    )
+    assert again == {"already_applied": aid}
+    assert _snapshot() == applied
+
+    # mid-crash replay: meta record lost (crash before the LAST step),
+    # storage already fully updated — replay must converge, not duplicate
+    mp = os.path.join(p, "meta.json")
+    meta = json.load(open(mp))
+    meta["appends"].remove(aid)
+    json.dump(meta, open(mp, "w"))
+    replay = TileAnnIndex.load(spark, p).append_persisted(
+        p, extra.select("node_id", "embedding")
+    )
+    assert replay["append_id"] == aid
+    assert _snapshot() == applied
