@@ -80,8 +80,47 @@ def _collect_query_matrix(queries: DataFrame, query_id: str, q_emb: str):
 
     pdf = queries.select(query_id, q_emb).toPandas()
     ids = pdf[query_id].to_numpy(dtype=np.int64)
-    mat = np.array(list(pdf[q_emb]), dtype=np.float64)
+    mat = vec_matrix(pdf[q_emb], q_emb, "_collect_query_matrix")
     return ids, mat
+
+
+def vec_matrix(values, col: str, where: str, expect_dim: int | None = None):
+    """Column of array<float> -> (n, d) float64 matrix, failing LOUDLY
+    on NULL or ragged-length vectors. ``np.array(list(col))`` silently
+    builds a ragged object array from such input and the downstream
+    matmul dies with a cryptic gufunc shape error (or, worse, a batch
+    of only-NULL rows scores garbage) — every scoring kernel builds its
+    matrices through this guard instead."""
+    import numpy as np
+
+    vals = list(values)
+    if not vals:
+        return np.zeros((0, 0), dtype=np.float64)
+    if any(v is None for v in vals):
+        raise ValueError(
+            f"{where}: NULL vector in column {col!r}; drop or repair "
+            f"NULL embeddings before scoring (e.g. .filter(col({col!r}).isNotNull()))"
+        )
+    try:
+        mat = np.asarray(vals, dtype=np.float64)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"{where}: non-numeric or ragged-length vectors in column {col!r}"
+        ) from exc
+    if mat.ndim != 2:
+        raise ValueError(
+            f"{where}: ragged vector lengths in column {col!r} "
+            f"(rows must share one dimension)"
+        )
+    if expect_dim is not None and mat.shape[1] != expect_dim:
+        # a ragged corpus whose rows split across Arrow batches builds
+        # internally-consistent per-batch matrices — the cross-batch
+        # mismatch only surfaces against the expected (query) dim
+        raise ValueError(
+            f"{where}: vectors in column {col!r} have length "
+            f"{mat.shape[1]}, expected {expect_dim}"
+        )
+    return mat
 
 
 def require_integral_id(df: DataFrame, col: str, where: str) -> None:
@@ -177,8 +216,8 @@ def _brute_force_knn_join(
             )
         q_ids = pdf["_id"].to_numpy(dtype=np.int64)[q_sel]
         n_ids = pdf["_id"].to_numpy(dtype=np.int64)[n_sel]
-        q_mat = np.array(list(pdf["_emb"][q_sel]), dtype=np.float64)
-        n_mat = np.array(list(pdf["_emb"][n_sel]), dtype=np.float64)
+        q_mat = vec_matrix(pdf["_emb"][q_sel], q_emb, "_brute_force_knn_join")
+        n_mat = vec_matrix(pdf["_emb"][n_sel], n_emb, "_brute_force_knn_join", expect_dim=q_mat.shape[1] if q_mat.size else None)
         dists = 1.0 - q_mat @ n_mat.T  # (nq, nn)
         take = min(k, dists.shape[1])
         part = np.argpartition(dists, take - 1, axis=1)[:, :take]
@@ -248,7 +287,7 @@ def brute_force_knn(
             if not len(pdf):
                 continue
             n_ids = pdf[node_id].to_numpy(dtype=np.int64)
-            n_mat = np.array(list(pdf[n_emb]), dtype=np.float64)
+            n_mat = vec_matrix(pdf[n_emb], n_emb, "brute_force_knn", expect_dim=mat.shape[1])
             dists = 1.0 - mat @ n_mat.T  # (nq, batch)
             take = min(k, dists.shape[1])
             # per-batch partial top-k (argpartition then exact sort later)
@@ -333,8 +372,8 @@ def _score_candidates_join(
         for pdf in it:
             if not len(pdf):
                 continue
-            q_mat = np.array(list(pdf[q_emb]), dtype=np.float64)
-            n_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q_mat = vec_matrix(pdf[q_emb], q_emb, "_score_candidates")
+            n_mat = vec_matrix(pdf["embedding"], "embedding", "_score_candidates", expect_dim=q_mat.shape[1])
             dists = 1.0 - np.einsum("ij,ij->i", q_mat, n_mat)
             yield pd.DataFrame(
                 {
@@ -380,7 +419,7 @@ def _score_candidates(
             if not len(pdf):
                 continue
             rows = pdf[query_id].map(idx).to_numpy(dtype=np.int64)
-            n_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n_mat = vec_matrix(pdf["embedding"], "embedding", "_score_candidates_join", expect_dim=mat.shape[1])
             dists = 1.0 - np.einsum("ij,ij->i", mat[rows], n_mat)
             yield pd.DataFrame(
                 {
@@ -423,8 +462,8 @@ def _score_candidates_quantized(
             for pdf in it:
                 if not len(pdf):
                     continue
-                q_mat = np.array(list(pdf[q_emb]), dtype=np.float64)
-                n_mat = np.array(list(pdf["q_vec"]), dtype=np.float64)
+                q_mat = vec_matrix(pdf[q_emb], q_emb, "_score_candidates_quantized")
+                n_mat = vec_matrix(pdf["q_vec"], "q_vec", "_score_candidates_quantized", expect_dim=q_mat.shape[1])
                 scales = pdf["q_scale"].to_numpy(dtype=np.float64)
                 dists = 1.0 - np.einsum("ij,ij->i", q_mat, n_mat) * scales
                 yield pd.DataFrame(
@@ -451,7 +490,7 @@ def _score_candidates_quantized(
             if not len(pdf):
                 continue
             rows = pdf[query_id].map(idx).to_numpy(dtype=np.int64)
-            n_mat = np.array(list(pdf["q_vec"]), dtype=np.float64)
+            n_mat = vec_matrix(pdf["q_vec"], "q_vec", "_score_candidates_quantized_join", expect_dim=mat.shape[1])
             scales = pdf["q_scale"].to_numpy(dtype=np.float64)
             dists = 1.0 - np.einsum("ij,ij->i", mat[rows], n_mat) * scales
             yield pd.DataFrame(

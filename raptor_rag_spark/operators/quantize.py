@@ -99,6 +99,7 @@ def _brute_force_knn_join_quantized(
     from raptor_rag_spark.operators.knn import (
         _rank_and_take,
         require_integral_id,
+        vec_matrix,
     )
 
     require_integral_id(queries, query_id, "_brute_force_knn_join_quantized")
@@ -131,8 +132,8 @@ def _brute_force_knn_join_quantized(
             )
         q_ids = qpdf["_id"].to_numpy(dtype=np.int64)
         n_ids = npdf["_id"].to_numpy(dtype=np.int64)
-        q_mat = np.array(list(qpdf["_emb"]), dtype=np.float64)
-        n_int = np.array(list(npdf["q_vec"]), dtype=np.float64)
+        q_mat = vec_matrix(qpdf["_emb"], q_emb, "_brute_force_knn_join_quantized")
+        n_int = vec_matrix(npdf["q_vec"], "q_vec", "_brute_force_knn_join_quantized", expect_dim=q_mat.shape[1] if q_mat.size else None)
         scales = npdf["q_scale"].to_numpy(dtype=np.float64)
         dists = 1.0 - (q_mat @ n_int.T) * scales[None, :]
         take = min(k, dists.shape[1])
@@ -175,7 +176,7 @@ def brute_force_knn_quantized(
     (_brute_force_knn_join_quantized). 'auto' switches at
     knn.BROADCAST_MAX_QUERIES — so the 100 TB regime this module exists
     for (its docstring) never collects the query side."""
-    from raptor_rag_spark.operators.knn import _resolve_strategy
+    from raptor_rag_spark.operators.knn import _resolve_strategy, vec_matrix
 
     if _resolve_strategy(strategy, queries) == "join":
         return _brute_force_knn_join_quantized(
@@ -184,7 +185,7 @@ def brute_force_knn_quantized(
     spark = nodes_q.sparkSession
     pdf = queries.select(query_id, q_emb).toPandas()
     q_ids = pdf[query_id].to_numpy(dtype=np.int64)
-    q_mat = np.array(list(pdf[q_emb]), dtype=np.float64)
+    q_mat = vec_matrix(pdf[q_emb], q_emb, "brute_force_knn_quantized")
     b_ids = spark.sparkContext.broadcast(q_ids)
     b_mat = spark.sparkContext.broadcast(q_mat)
 
@@ -195,7 +196,7 @@ def brute_force_knn_quantized(
             if not len(pdf_b):
                 continue
             n_ids = pdf_b[node_id].to_numpy(dtype=np.int64)
-            n_mat = np.array(list(pdf_b["q_vec"]), dtype=np.float64)
+            n_mat = vec_matrix(pdf_b["q_vec"], "q_vec", "brute_force_knn_quantized", expect_dim=q_mat.shape[1])
             scales = pdf_b["q_scale"].to_numpy(dtype=np.float64)
             # dequantized dot: (Q @ Nq^T) * scale_n  (queries stay float)
             dists = 1.0 - (mat @ n_mat.T) * scales[None, :]

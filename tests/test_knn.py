@@ -254,3 +254,24 @@ def test_auto_strategy_switches_on_query_count(data, monkeypatch):
     monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", _boom)
     rows = brute_force_knn(queries, nodes, k=K, strategy="auto").collect()
     assert len(rows) == N_QUERIES * K
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_null_and_ragged_embeddings_fail_loudly(spark, strategy):
+    """A NULL or wrong-length embedding must raise a ValueError naming
+    the column — np.array on such input builds a ragged object array
+    whose matmul dies with a cryptic gufunc error (or, for rows split
+    across Arrow batches, an internally-consistent wrong-dim matrix)."""
+    q = spark.createDataFrame(
+        [(10, [0.0, 1.0])], "query_id long, q_embedding array<float>"
+    )
+    bad_null = spark.createDataFrame(
+        [(1, [0.6, 0.8]), (2, None)], "node_id long, embedding array<float>"
+    )
+    bad_ragged = spark.createDataFrame(
+        [(1, [0.6, 0.8]), (2, [1.0])], "node_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL vector in column"):
+        brute_force_knn(q, bad_null, k=2, strategy=strategy).collect()
+    with pytest.raises(Exception, match="ragged|expected"):
+        brute_force_knn(q, bad_ragged, k=2, strategy=strategy).collect()
