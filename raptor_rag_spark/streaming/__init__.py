@@ -10,7 +10,16 @@ make cheap to locate. A Structured Streaming wrapper
 (``stream_pages``) drives the same batch logic via foreachBatch.
 """
 
-from raptor_rag_spark.streaming.incremental import incremental_level0, stream_pages
+from raptor_rag_spark.streaming.incremental import (
+    incremental_level0,
+    read_stream_level0,
+    stream_pages,
+)
 from raptor_rag_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["incremental_level0", "sessionize_stream", "stream_pages"]
+__all__ = [
+    "incremental_level0",
+    "read_stream_level0",
+    "sessionize_stream",
+    "stream_pages",
+]

@@ -53,6 +53,45 @@ def incremental_level0(
     return reduce_2d(nodes, dim=dim, seed=cfg.seed)
 
 
+def _epoch_sink(out_dir: str, cfg: EngineConfig):
+    """foreachBatch sink for stream_pages — exactly-once by epoch id.
+
+    foreachBatch is AT-LEAST-once under retries (a crash between the
+    data write and the streaming checkpoint commit replays the whole
+    micro-batch), so a plain mode('append') would duplicate level-0
+    rows. The canonical Spark fix: make the sink idempotent on
+    ``epoch_id`` — each micro-batch writes its own ``_epoch`` partition
+    via dynamic partition overwrite, so a replay REPLACES its partition
+    instead of appending next to it. Exposed as a function so tests can
+    replay an epoch directly."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        from pyspark.sql import functions as F
+
+        sp = batch_df.sparkSession
+        out = incremental_level0(batch_df, cfg).withColumn(
+            "_epoch", F.lit(int(epoch_id))
+        )
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("_epoch").parquet(out_dir)
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sp.catalog.refreshByPath(out_dir)
+
+    return sink
+
+
+def read_stream_level0(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Level-0 rows produced by stream_pages, without the ``_epoch``
+    lineage partition column (kept on disk for replay idempotency and
+    micro-batch provenance)."""
+    return spark.read.parquet(out_dir).drop("_epoch")
+
+
 def stream_pages(
     spark: SparkSession,
     input_dir: str,
@@ -62,19 +101,17 @@ def stream_pages(
 ):
     """Structured Streaming wrapper: watch a directory of page parquet
     files, run the same batch logic per micro-batch via foreachBatch,
-    append level-0 rows to out_dir. Returns the StreamingQuery."""
+    write level-0 rows to out_dir exactly once per epoch (see
+    _epoch_sink). Returns the StreamingQuery; read the output with
+    read_stream_level0."""
     from raptor_rag_spark.datagen import PAGES_SCHEMA
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     )
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.take(1):
-            incremental_level0(batch_df, cfg).write.mode("append").parquet(out_dir)
-
     return (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(_epoch_sink(out_dir, cfg))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -3,7 +3,11 @@
 from pyspark.sql import functions as F
 
 from raptor_rag_spark.datagen import synthetic_pages
-from raptor_rag_spark.streaming import incremental_level0, stream_pages
+from raptor_rag_spark.streaming import (
+    incremental_level0,
+    read_stream_level0,
+    stream_pages,
+)
 
 
 def test_incremental_level0_batch(spark):
@@ -24,7 +28,7 @@ def test_stream_pages_available_now(spark, tmp_path_factory):
 
     q = stream_pages(spark, src, chk, out)
     q.awaitTermination(120)
-    got = spark.read.parquet(out)
+    got = read_stream_level0(spark, out)
     n1 = got.count()
     assert n1 > 0
     assert got.select(F.min(F.size("embedding"))).first()[0] == 64
@@ -35,7 +39,7 @@ def test_stream_pages_available_now(spark, tmp_path_factory):
     ).write.mode("append").parquet(src)
     q2 = stream_pages(spark, src, chk, out)
     q2.awaitTermination(120)
-    n2 = spark.read.parquet(out).count()
+    n2 = read_stream_level0(spark, out).count()
     assert n2 > n1
 
 
@@ -189,7 +193,7 @@ def test_streamed_pages_feed_incremental_tree_update(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(src)
     q = stream_pages(spark, src, chk, out)
     q.awaitTermination(120)
-    new_leaves = spark.read.parquet(out)
+    new_leaves = read_stream_level0(spark, out)
     assert new_leaves.count() > 0
 
     got = incremental_update(spark, base, new_leaves, DEFAULT_CONFIG, start_resolution=3)
@@ -457,3 +461,31 @@ def test_crawl_day_end_to_end(spark, tmp_path_factory):
     assert {qid for qid, _, r in [(a, b, c) for a, b, c in got_k] if r == 1} == {
         r["query_id"] for r in queries.select("query_id").collect()
     }
+
+
+def test_stream_sink_replayed_epoch_is_exactly_once(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: a crash between the sink write and
+    the streaming checkpoint commit replays the micro-batch. The epoch-
+    partitioned sink must absorb the replay (REPLACE its partition, not
+    append a duplicate) — the exactly-once half of the ingest story."""
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.streaming.incremental import _epoch_sink
+
+    out = str(tmp_path_factory.mktemp("epoch_sink_out"))
+    sink = _epoch_sink(out, DEFAULT_CONFIG)
+    batch = synthetic_pages(spark, n=10, seed=31)
+    sink(batch, 0)
+    first = sorted(
+        map(tuple, read_stream_level0(spark, out).select("node_id").collect())
+    )
+    assert len(first) > 0
+    sink(batch, 0)  # the replay
+    replayed = sorted(
+        map(tuple, read_stream_level0(spark, out).select("node_id").collect())
+    )
+    assert replayed == first
+    # a genuinely new epoch still lands next to it
+    sink(synthetic_pages(spark, n=5, seed=32).withColumn(
+        "page_id", F.col("page_id") + 900
+    ), 1)
+    assert read_stream_level0(spark, out).count() > len(first)
