@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from raptor_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from raptor_rag_spark.operators.chunk import split_text
 from raptor_rag_spark.operators.embed import embed_texts
-from raptor_rag_spark.operators.tile import quadkey, reduce_2d, tile
+from raptor_rag_spark.operators.tile import cell_id_col, quadkey, reduce_2d, tile
 from raptor_rag_spark.tokenizer import DEFAULT_TOKENIZER
 
 NODES_SCHEMA = (
@@ -99,43 +99,63 @@ def _assign_cells_with_cap(
 ) -> DataFrame:
     """Tile at start_res; cells whose token sum exceeds the cap re-tile
     their members one resolution finer (C4 recast). Returns nodes +
-    (resolution, cell_id). Driver fixed-point loop, <= max_resolution
-    iterations; each pass is one groupBy + one semi/anti join."""
-    assigned = None
-    current = nodes.localCheckpoint(eager=False)  # cut upstream lineage once
-    res = start_res
-    while True:
-        t = tile(current, res).drop("ix", "iy")
-        if res >= cfg.max_resolution:
-            assigned = t if assigned is None else assigned.unionByName(t)
-            break
-        # one agg decides both conditions; cells over the token cap AND
-        # with >1 member re-tile finer (singleton over-cap cells stay —
-        # reference single-node base case, cluster_utils.py:161-163)
-        stats = t.groupBy("cell_id").agg(
-            F.sum("n_tokens").alias("_sum"), F.count("*").alias("_n")
-        )
-        splittable = (
-            stats.filter(
-                (F.col("_sum") > cfg.max_tokens_in_cluster) & (F.col("_n") > 1)
+    (resolution, cell_id).
+
+    ONE-PASS formulation (round 4; replaces the round-by-round driver
+    fixed point, which ran ~3 eager materializations per resolution):
+    per-cell (token_sum, count) for the WHOLE resolution ladder comes
+    from one exploded aggregation, a cell is "splittable" iff sum > cap
+    AND count > 1 (singleton over-cap cells stay — reference
+    single-node base case, cluster_utils.py:161-163), and each node's
+    final cell is its FIRST non-splittable ancestor (min resolution,
+    always defined because max_resolution is never splittable).
+
+    Provably identical to the fixed point: quadkey nesting means a
+    finer cell's members all share its coarser ancestor, so whenever
+    the loop evaluated a cell at res r (ancestor chain all splittable)
+    its membership there equaled the cell's GLOBAL membership — the
+    global per-(res, cell) stats are exactly the loop's stats wherever
+    they are consulted, and finer rows under a non-split ancestor are
+    simply never the minimum. Fully lazy: no driver actions, ~3
+    shuffles of skinny (node_id, n_tokens, res, cell_id) rows instead
+    of R rounds x (agg + 2 joins + 2 checkpoints)."""
+    # the input may carry (resolution, cell_id) from the level below —
+    # the loop formulation overwrote them via tile()'s withColumn; the
+    # join formulation must drop them first or the join output is
+    # ambiguous
+    nodes = nodes.drop("resolution", "cell_id")
+    resolutions = list(range(start_res, cfg.max_resolution + 1))
+    if len(resolutions) == 1:
+        return tile(nodes, start_res).drop("ix", "iy")
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("resolution"), cell_id_col(F.col("x"), F.col("y"), r).alias("cell_id")
             )
-            .select("cell_id")
-            .localCheckpoint(eager=True)  # tiny; reused by two joins below
+            for r in resolutions
+        ]
+    )
+    ex = nodes.select(
+        "node_id", "n_tokens", F.explode(ladder).alias("_l")
+    ).select("node_id", "n_tokens", "_l.resolution", "_l.cell_id")
+    splittable = (
+        ex.filter(F.col("resolution") < cfg.max_resolution)
+        .groupBy("resolution", "cell_id")
+        .agg(F.sum("n_tokens").alias("_sum"), F.count("*").alias("_n"))
+        .filter((F.col("_sum") > cfg.max_tokens_in_cluster) & (F.col("_n") > 1))
+        .select("resolution", "cell_id")
+    )
+    chosen = (
+        ex.join(splittable, ["resolution", "cell_id"], "left_anti")
+        .groupBy("node_id")
+        .agg(F.min(F.struct("resolution", "cell_id")).alias("_c"))
+        .select(
+            "node_id",
+            F.col("_c.resolution").alias("resolution"),
+            F.col("_c.cell_id").alias("cell_id"),
         )
-        n_split = splittable.count()
-        if n_split == 0:
-            assigned = t if assigned is None else assigned.unionByName(t)
-            break
-        ok = t.join(F.broadcast(splittable), "cell_id", "left_anti")
-        assigned = ok if assigned is None else assigned.unionByName(ok)
-        redo = (
-            t.join(F.broadcast(splittable), "cell_id", "left_semi")
-            .drop("resolution", "cell_id")
-            .localCheckpoint(eager=True)  # shrinks every round; pin it
-        )
-        current = redo
-        res += 1
-    return assigned
+    )
+    return nodes.join(chosen, "node_id")
 
 
 def build_level(
