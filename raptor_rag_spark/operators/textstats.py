@@ -106,7 +106,14 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(F.greatest(score, F.lit(0.0)), 6).alias("quality_score"),
+        # a NULL text must not outscore an empty one: the penalty
+        # conditions evaluate NULL (never true) on NULL input, leaving
+        # only the alpha_ratio penalty -> 0.8, which would pass a
+        # quality filter; pin NULL text to 0.0 (oracle mirrors this)
+        F.round(
+            F.when(t.isNull(), F.lit(0.0)).otherwise(F.greatest(score, F.lit(0.0))),
+            6,
+        ).alias("quality_score"),
     )
 
 

@@ -1456,7 +1456,7 @@ WITH base AS (
          length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
   FROM documents
 ), m AS (
-  SELECT doc_id, n_chars, n_words, n_tokens,
+  SELECT doc_id, (text IS NULL) AS is_null_text, n_chars, n_words, n_tokens,
          CASE WHEN n_words > 0 THEN (n_chars - spaces) * 1.0 / n_words ELSE 0.0 END AS mean_word_len,
          CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
          CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars ELSE 0.0 END AS digit_ratio,
@@ -1470,11 +1470,11 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ROUND(alpha_ratio, 6) AS alpha_ratio,
        ROUND(digit_ratio, 6) AS digit_ratio,
        ROUND(punct_ratio, 6) AS punct_ratio,
-       ROUND(GREATEST(1.0
+       ROUND(CASE WHEN is_null_text THEN 0.0 ELSE GREATEST(1.0
          - (CASE WHEN n_words < 5 THEN 0.5 ELSE 0.0 END)
          - (CASE WHEN digit_ratio > 0.3 THEN 0.3 ELSE 0.0 END)
          - (CASE WHEN punct_ratio > 0.2 THEN 0.2 ELSE 0.0 END)
-         - (CASE WHEN alpha_ratio < 0.5 THEN 0.2 ELSE 0.0 END), 0.0), 6) AS quality_score
+         - (CASE WHEN alpha_ratio < 0.5 THEN 0.2 ELSE 0.0 END), 0.0) END, 6) AS quality_score
 FROM m
 """,
         "lang_id": _lang_id_sql(),

@@ -226,3 +226,18 @@ def test_word_shingles_udf_matches_jvm_expression(spark):
         gm = {r["doc_id"]: r["s"] for r in got}
         wm = {r["doc_id"]: r["s"] for r in want}
         assert gm == wm, (n, gm, wm)
+
+
+def test_quality_null_text_scores_zero(spark):
+    """A NULL-text document must not outscore an empty one (the penalty
+    CASEs evaluate NULL -> no penalty, which left NULL text at 0.8 —
+    above a typical keep threshold). Pinned: NULL -> 0.0."""
+    from raptor_rag_spark.operators.textstats import quality_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "hello world this is fine."), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["quality_score"] for r in quality_metrics(docs).collect()}
+    assert got[2] == 0.0
+    assert got[2] <= got[3] < got[1]
