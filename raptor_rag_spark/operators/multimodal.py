@@ -87,6 +87,78 @@ def _not_implemented_decode(data: bytes) -> np.ndarray:
     )
 
 
+_RESIZE_SCHEMA = (
+    "media_id long, width int, height int, target_w int, target_h int, "
+    "scale_x double, scale_y double, bytes binary"
+)
+
+
+def fake_resize(data: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Deterministic stand-in for a real image resize: stride-samples
+    the payload down to the target pixel ratio. Replace with a real
+    codec via the resize_fn hook (same contract: bytes in, bytes out)."""
+    if not data or not w or not h:
+        return b""
+    ratio = max(1e-9, min(1.0, (tw * th) / float(w * h)))
+    keep = max(1, int(len(data) * ratio))
+    step = max(1, len(data) // keep)
+    return data[::step][:keep]
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resize_fn: Callable[[bytes, int, int, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize as a streamed mapInPandas over (media_id, bytes,
+    width, height) — the third brief-mandated multimodal op alongside
+    decode/feature-extract and frame-sample. The pixel work is the
+    stubbed ``resize_fn`` (fake_resize for tests, NotImplementedError
+    hook otherwise); the Spark plumbing is real: only image rows are
+    scanned, the binary column never joins or shuffles (map-only plan
+    straight off the scan), and batches stream via the iterator form so
+    a partition of large blobs never materializes at once."""
+
+    def _ni(data: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+        raise NotImplementedError(
+            "real image resizing requires codec libraries not present in "
+            "this environment; inject resize_fn (see fake_resize)"
+        )
+
+    fn = resize_fn or _ni
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_bytes, sx, sy = [], [], []
+            for b, w, h in zip(pdf["bytes"], pdf["width"], pdf["height"]):
+                w = int(w) if pd.notna(w) else 0
+                h = int(h) if pd.notna(h) else 0
+                out_bytes.append(
+                    bytearray(fn(bytes(b) if b is not None else b"", w, h, target_w, target_h))
+                )
+                sx.append(target_w / w if w else 0.0)
+                sy.append(target_h / h if h else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "scale_x": sx,
+                    "scale_y": sy,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "width", "height", "bytes")
+        .mapInPandas(run, _RESIZE_SCHEMA)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, duration_ms)
     into frame timestamps JVM-side (sequence+explode); the actual frame

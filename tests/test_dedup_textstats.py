@@ -241,3 +241,27 @@ def test_quality_null_text_scores_zero(spark):
     got = {r["doc_id"]: r["quality_score"] for r in quality_metrics(docs).collect()}
     assert got[2] == 0.0
     assert got[2] <= got[3] < got[1]
+
+
+def test_resize_images_plumbing(spark):
+    """Resize op (brief: decode/feature-extract/resize/frame-sample):
+    deterministic stubbed kernel, real schema/streamed-batch plumbing,
+    map-only plan (the binary column never shuffles), clear stub error
+    without an injected codec."""
+    from raptor_rag_spark.operators.multimodal import fake_resize, resize_images
+
+    media = synthetic_media(spark, n=24)
+    out = resize_images(media, 64, 64, resize_fn=fake_resize)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only straight off the scan
+    rows = out.collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images > 0
+    for r in rows:
+        assert r["target_w"] == 64 and r["target_h"] == 64
+        assert 0 < len(r["bytes"])  # shrunk payload, never empty for real input
+        assert r["scale_x"] == 64 / r["width"] and r["scale_y"] == 64 / r["height"]
+    again = {r["media_id"]: bytes(r["bytes"]) for r in out.collect()}
+    assert {r["media_id"]: bytes(r["bytes"]) for r in rows} == again  # deterministic
+    with pytest.raises(Exception, match="NotImplementedError|resize_fn"):
+        resize_images(media, 64, 64).collect()
