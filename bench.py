@@ -331,6 +331,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     t_total0 = time.time()
+    load_start = os.getloadavg()
     n_docs_holder = {}
 
     def _build():
@@ -668,6 +669,15 @@ def main() -> None:
         "metric": "tree-build + kNN-retrieval throughput (tile engine, sf headline suite)",
         "value": total,
         "unit": "sec",
+        # window-quality self-documentation: co-tenant load on this box
+        # inflates every JVM slot 2-10x (see BASELINE.md pollution
+        # signature) — a reader comparing suite totals needs to know
+        # whether the window was clean
+        "env": {
+            "load_avg_start": [round(v, 2) for v in load_start],
+            "load_avg_end": [round(v, 2) for v in os.getloadavg()],
+            "cpus": CPUS,
+        },
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "throughput": {
