@@ -372,8 +372,8 @@ def _score_candidates_join(
         for pdf in it:
             if not len(pdf):
                 continue
-            q_mat = vec_matrix(pdf[q_emb], q_emb, "_score_candidates")
-            n_mat = vec_matrix(pdf["embedding"], "embedding", "_score_candidates", expect_dim=q_mat.shape[1])
+            q_mat = vec_matrix(pdf[q_emb], q_emb, "_score_candidates_join")
+            n_mat = vec_matrix(pdf["embedding"], "embedding", "_score_candidates_join", expect_dim=q_mat.shape[1])
             dists = 1.0 - np.einsum("ij,ij->i", q_mat, n_mat)
             yield pd.DataFrame(
                 {
@@ -419,7 +419,7 @@ def _score_candidates(
             if not len(pdf):
                 continue
             rows = pdf[query_id].map(idx).to_numpy(dtype=np.int64)
-            n_mat = vec_matrix(pdf["embedding"], "embedding", "_score_candidates_join", expect_dim=mat.shape[1])
+            n_mat = vec_matrix(pdf["embedding"], "embedding", "_score_candidates", expect_dim=mat.shape[1])
             dists = 1.0 - np.einsum("ij,ij->i", mat[rows], n_mat)
             yield pd.DataFrame(
                 {
@@ -462,8 +462,8 @@ def _score_candidates_quantized(
             for pdf in it:
                 if not len(pdf):
                     continue
-                q_mat = vec_matrix(pdf[q_emb], q_emb, "_score_candidates_quantized")
-                n_mat = vec_matrix(pdf["q_vec"], "q_vec", "_score_candidates_quantized", expect_dim=q_mat.shape[1])
+                q_mat = vec_matrix(pdf[q_emb], q_emb, "_score_candidates_quantized(join)")
+                n_mat = vec_matrix(pdf["q_vec"], "q_vec", "_score_candidates_quantized(join)", expect_dim=q_mat.shape[1])
                 scales = pdf["q_scale"].to_numpy(dtype=np.float64)
                 dists = 1.0 - np.einsum("ij,ij->i", q_mat, n_mat) * scales
                 yield pd.DataFrame(
@@ -490,7 +490,7 @@ def _score_candidates_quantized(
             if not len(pdf):
                 continue
             rows = pdf[query_id].map(idx).to_numpy(dtype=np.int64)
-            n_mat = vec_matrix(pdf["q_vec"], "q_vec", "_score_candidates_quantized_join", expect_dim=mat.shape[1])
+            n_mat = vec_matrix(pdf["q_vec"], "q_vec", "_score_candidates_quantized(broadcast)", expect_dim=mat.shape[1])
             scales = pdf["q_scale"].to_numpy(dtype=np.float64)
             dists = 1.0 - np.einsum("ij,ij->i", mat[rows], n_mat) * scales
             yield pd.DataFrame(

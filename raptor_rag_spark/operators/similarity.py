@@ -342,14 +342,15 @@ class TileAnnIndex:
                 "append_persisted needs a save(partition_by_base=True) layout; "
                 "re-save the index first"
             )
+        from raptor_rag_spark.functions.staging import content_append_id
+
         add = new_nodes.select(
             F.col(self.id_col).alias("node_id"), "embedding"
         ).localCheckpoint(eager=True)
-        agg = add.agg(
-            F.count("*").alias("n"),
-            F.sum(F.pmod(F.xxhash64("node_id"), F.lit(1 << 31))).alias("h"),
-        ).first()
-        append_id = f"n{agg['n']}h{agg['h'] or 0}"
+        # id covers the embeddings, not just the ids: a repair batch
+        # re-presenting the same node_ids with corrected vectors must
+        # apply, not silently no-op against the applied ledger
+        append_id = content_append_id(add, ["node_id", "embedding"])
         if append_id in meta.get("appends", []):
             return {"already_applied": append_id}
         stats: dict = {"append_id": append_id}
@@ -418,28 +419,12 @@ class TileAnnIndex:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         stored = self._quantize_nodes(add) if self.quantized else add
-        # exact-once node-row append: stage under an inflight dir, rename
-        # into the live dir under id-named part files (scrubbing leftovers
-        # of a crashed earlier attempt of THIS id), commit meta LAST
-        import glob as _glob
-        import shutil as _shutil
+        # exact-once node-row append (shared staging discipline with the
+        # tree's append_level — functions/staging.py): commit meta LAST
+        from raptor_rag_spark.functions.staging import stage_parquet_append
 
         nodes_path = os.path.join(path, "nodes.parquet")
-        for leftover in _glob.glob(
-            os.path.join(nodes_path, f"part-append-{append_id}-*")
-        ):
-            os.remove(leftover)
-        inflight = os.path.join(nodes_path, f"_inflight_{append_id}")
-        _shutil.rmtree(inflight, ignore_errors=True)
-        stored.write.mode("overwrite").parquet(inflight)
-        for i, src in enumerate(sorted(_glob.glob(os.path.join(inflight, "part-*")))):
-            bn = os.path.basename(src)
-            ext = bn[bn.index(".") :] if "." in bn else ".parquet"
-            os.replace(
-                src, os.path.join(nodes_path, f"part-append-{append_id}-{i:05d}{ext}")
-            )
-        _shutil.rmtree(inflight, ignore_errors=True)
-        spark.catalog.refreshByPath(nodes_path)
+        stage_parquet_append(stored, nodes_path, append_id, part_prefix="append")
         meta["populated_keys"] = keys_meta
         meta.setdefault("appends", []).append(append_id)
         with open(os.path.join(path, "meta.json"), "w") as fh:

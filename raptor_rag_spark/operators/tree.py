@@ -116,17 +116,29 @@ def _assign_cells_with_cap(
     its membership there equaled the cell's GLOBAL membership — the
     global per-(res, cell) stats are exactly the loop's stats wherever
     they are consulted, and finer rows under a non-split ancestor are
-    simply never the minimum. Fully lazy: no driver actions, ~3
-    shuffles of skinny (node_id, n_tokens, res, cell_id) rows instead
-    of R rounds x (agg + 2 joins + 2 checkpoints)."""
+    simply never the minimum. Fully lazy: no driver actions; the stats
+    and the first-ancestor pick shuffle only skinny (node_id, n_tokens,
+    res, cell_id) rows, and ONE hash exchange of the full rows pays for
+    the node_id join back (vs the loop's R rounds x (agg + 2 joins +
+    2 eager wide-row checkpoint writes) — the wide rows moved through
+    local storage every round there, they move through one exchange
+    here)."""
     # the input may carry (resolution, cell_id) from the level below —
     # the loop formulation overwrote them via tile()'s withColumn; the
     # join formulation must drop them first or the join output is
     # ambiguous
     nodes = nodes.drop("resolution", "cell_id")
-    resolutions = list(range(start_res, cfg.max_resolution + 1))
-    if len(resolutions) == 1:
+    if cfg.max_resolution <= start_res:
+        # no finer resolution to split into (incl. start_res PAST the
+        # max — the loop formulation tiled at start_res there, and an
+        # empty ladder would otherwise build an array<void> that dies
+        # with a cryptic INVALID_EXTRACT_BASE_FIELD_TYPE)
         return tile(nodes, start_res).drop("ix", "iy")
+    # cut upstream lineage once: `nodes` feeds BOTH the ladder stats
+    # and the final join's left side — without this the upstream plan
+    # (e.g. an un-pinned embed pipeline) evaluates twice per action
+    nodes = nodes.localCheckpoint(eager=False)
+    resolutions = list(range(start_res, cfg.max_resolution + 1))
     ladder = F.array(
         *[
             F.struct(

@@ -53,7 +53,7 @@ def incremental_level0(
     return reduce_2d(nodes, dim=dim, seed=cfg.seed)
 
 
-def _epoch_sink(out_dir: str, cfg: EngineConfig):
+def _epoch_sink(out_dir: str, cfg: EngineConfig, namespace: str = "default"):
     """foreachBatch sink for stream_pages — exactly-once by epoch id.
 
     foreachBatch is AT-LEAST-once under retries (a crash between the
@@ -63,7 +63,19 @@ def _epoch_sink(out_dir: str, cfg: EngineConfig):
     ``epoch_id`` — each micro-batch writes its own ``_epoch`` partition
     via dynamic partition overwrite, so a replay REPLACES its partition
     instead of appending next to it. Exposed as a function so tests can
-    replay an epoch directly."""
+    replay an epoch directly.
+
+    ``namespace`` scopes the partition key: epoch ids are only unique
+    PER STREAMING CHECKPOINT, so two streams (different checkpoint
+    dirs) feeding one out_dir would otherwise overwrite each other's
+    epoch-N partitions — stream_pages passes a checkpoint-derived
+    namespace, stable across restarts of the same stream but distinct
+    per checkpoint. Caveat (inherent to epoch-keyed idempotency):
+    DELETING a checkpoint dir and re-streaming under the same path
+    restarts epochs at 0 within the same namespace and replaces that
+    incarnation's partitions — Spark's own docs treat a lost streaming
+    checkpoint as a lost stream identity; use a fresh checkpoint dir
+    (hence a fresh namespace) to re-ingest alongside."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
@@ -72,7 +84,7 @@ def _epoch_sink(out_dir: str, cfg: EngineConfig):
 
         sp = batch_df.sparkSession
         out = incremental_level0(batch_df, cfg).withColumn(
-            "_epoch", F.lit(int(epoch_id))
+            "_epoch", F.lit(f"{namespace}-{int(epoch_id)}")
         )
         prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -106,12 +118,19 @@ def stream_pages(
     read_stream_level0."""
     from raptor_rag_spark.datagen import PAGES_SCHEMA
 
+    import hashlib
+    import os
+
     stream = (
         spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     )
 
+    # checkpoint-scoped namespace: stable across restarts of this
+    # stream (same checkpoint_dir), distinct per checkpoint — two
+    # streams feeding one out_dir cannot clobber each other's epochs
+    ns = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
     return (
-        stream.writeStream.foreachBatch(_epoch_sink(out_dir, cfg))
+        stream.writeStream.foreachBatch(_epoch_sink(out_dir, cfg, namespace=ns))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -136,14 +155,13 @@ def append_level(
     mid-rename or pre-commit) — so the appended rows land exactly once
     no matter where a previous attempt died. Callers that may retry
     MUST pass a stable content-derived ``append_id``
-    (incremental_update derives one from the delta's node_ids)."""
-    import glob as _glob
+    (incremental_update derives one from the delta's node_ids AND
+    content columns via functions.staging.content_append_id)."""
     import json as _json
-    import os
-    import shutil as _shutil
     import time as _time
     import uuid as _uuid
 
+    from raptor_rag_spark.functions.staging import stage_parquet_append
     from raptor_rag_spark.operators.tree import (
         _level_path,
         _manifest_path,
@@ -157,26 +175,9 @@ def append_level(
     ):
         return manifest  # already applied — retry after a post-commit crash
     aid = append_id or _uuid.uuid4().hex
-    lp = _level_path(base, layer)
-    # scrub leftovers of a crashed earlier attempt of THIS append
-    for leftover in _glob.glob(os.path.join(lp, f"part-inflight-{aid}-*")):
-        os.remove(leftover)
-    inflight = os.path.join(lp, f"_inflight_{aid}")
-    _shutil.rmtree(inflight, ignore_errors=True)
     pinned = df.localCheckpoint(eager=True)  # count + write, one execution
     delta_rows = pinned.count()
-    pinned.write.mode("overwrite").parquet(inflight)
-    parts = sorted(_glob.glob(os.path.join(inflight, "part-*")))
-    for i, src in enumerate(parts):
-        bn = os.path.basename(src)
-        ext = bn[bn.index(".") :] if "." in bn else ".parquet"
-        os.replace(src, os.path.join(lp, f"part-inflight-{aid}-{i:05d}{ext}"))
-    _shutil.rmtree(inflight, ignore_errors=True)
-    # the renames bypass Spark's write path, so cached file listings /
-    # InMemoryRelations for the level would keep serving the OLD files
-    # (a Spark-side mode('append') write refreshes the path implicitly;
-    # this staging scheme must do it explicitly)
-    df.sparkSession.catalog.refreshByPath(lp)
+    stage_parquet_append(pinned, _level_path(base, layer), aid, part_prefix="inflight")
     manifest["rows"] = int(manifest["rows"]) + int(delta_rows)
     manifest.setdefault("appends", []).append(
         {
@@ -255,12 +256,14 @@ def incremental_update(
     )
     # content-derived append id: a retried incremental_update (crash
     # anywhere downstream) re-presents the same delta and must not
-    # duplicate level-0 rows — append_level dedups on this id
-    agg = lvl0_delta.agg(
-        F.count("*").alias("n"),
-        F.sum(F.pmod(F.xxhash64("node_id"), F.lit(1 << 31))).alias("h"),
-    ).first()
-    append_id = f"n{agg['n']}h{agg['h'] or 0}"
+    # duplicate level-0 rows — append_level dedups on this id. The id
+    # covers text/tokens/embedding too, so a repair batch with the SAME
+    # node_ids but different content is a new append, not a silent no-op
+    from raptor_rag_spark.functions.staging import content_append_id
+
+    append_id = content_append_id(
+        lvl0_delta, ["node_id", "text", "n_tokens", "embedding"]
+    )
     append_level(
         lvl0_delta, checkpoint_base, 0, {"input": "incremental append"},
         append_id=append_id,

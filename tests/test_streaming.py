@@ -489,3 +489,25 @@ def test_stream_sink_replayed_epoch_is_exactly_once(spark, tmp_path_factory):
         "page_id", F.col("page_id") + 900
     ), 1)
     assert read_stream_level0(spark, out).count() > len(first)
+
+
+def test_two_streams_one_store_do_not_clobber(spark, tmp_path_factory):
+    """Epoch ids are only unique per streaming checkpoint: two streams
+    (distinct checkpoint dirs) feeding one out_dir must not overwrite
+    each other's epoch-0 partitions — the sink namespaces the partition
+    key by checkpoint."""
+    src1 = str(tmp_path_factory.mktemp("ns_src1"))
+    src2 = str(tmp_path_factory.mktemp("ns_src2"))
+    out = str(tmp_path_factory.mktemp("ns_out"))
+    synthetic_pages(spark, n=8, seed=41).write.mode("overwrite").parquet(src1)
+    synthetic_pages(spark, n=6, seed=42).withColumn(
+        "page_id", F.col("page_id") + 7000
+    ).write.mode("overwrite").parquet(src2)
+    q1 = stream_pages(spark, src1, str(tmp_path_factory.mktemp("ns_chk1")), out)
+    q1.awaitTermination(120)
+    n1 = read_stream_level0(spark, out).count()
+    q2 = stream_pages(spark, src2, str(tmp_path_factory.mktemp("ns_chk2")), out)
+    q2.awaitTermination(120)
+    n2 = read_stream_level0(spark, out).count()
+    assert n1 > 0
+    assert n2 > n1  # stream 2's epoch 0 landed NEXT TO stream 1's

@@ -192,3 +192,21 @@ def test_incremental_partial_partition_overwrite(spark, leaves, tmp_path_factory
     actual = spark.read.parquet(os.path.join(base, "level=1", "nodes.parquet")).count()
     assert man["rows"] == actual
     assert sum(man["partitions"].values()) == actual
+
+
+def test_cap_assign_start_res_beyond_max_resolution(spark):
+    """start_resolution past cfg.max_resolution must tile at start_res
+    (the loop formulation's behavior) — the one-pass ladder would
+    otherwise build an empty array<void> and die with a cryptic
+    INVALID_EXTRACT_BASE_FIELD_TYPE AnalysisException."""
+    from raptor_rag_spark.config import EngineConfig
+    from raptor_rag_spark.operators.tree import _assign_cells_with_cap
+
+    cfg = EngineConfig(embedding_dim=8, max_resolution=6)
+    nodes = spark.createDataFrame(
+        [(i, "t", 3, i / 10.0 - 0.5, i / 20.0 - 0.2) for i in range(8)],
+        "node_id long, text string, n_tokens int, x double, y double",
+    )
+    out = _assign_cells_with_cap(nodes, start_res=8, cfg=cfg).collect()
+    assert len(out) == 8
+    assert all(r["resolution"] == 8 and len(r["cell_id"]) == 9 for r in out)

@@ -48,7 +48,6 @@ def audit_one(name: str, df) -> dict:
         m = re.search(r"ReadSchema: struct<([^>]*)>", ln)
         ncols = len(m.group(1).split(",")) if m and m.group(1) else 0
         pushed = bool(re.search(r"PushedFilters: \[[^\]]", ln))
-        tbl = re.search(r"FileScan parquet [^\[]*\[", ln)
         scans.append({"cols": ncols, "pushed": pushed})
     return {
         "name": name,
