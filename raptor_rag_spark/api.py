@@ -143,12 +143,16 @@ class RaptorEngine:
         collapse_tree: bool = True,
         method: str = "brute",
         return_layer_information: bool = False,
+        allowed: DataFrame | None = None,
     ):
         """str/list questions -> {query_id: context_string} (+ selected-
         node rows when return_layer_information, mirroring the reference
         flag). A DataFrame of questions -> the contexts DataFrame
         (query_id, context), NOT collected: a 10^6-query batch stays
-        distributed end-to-end — write it to a table, don't dict it."""
+        distributed end-to-end — write it to a table, don't dict it.
+
+        ``allowed``: node_id allowlist for filtered retrieval (collapsed
+        mode) — see retrieve_collapsed."""
         if self.nodes is None:
             raise ValueError("no tree built — call add_documents first "
                              "(reference raises the same way, RetrievalAugmentation.py:254)")
@@ -156,9 +160,15 @@ class RaptorEngine:
         q = self._query_df(questions)
         if collapse_tree:
             sel, ctx = retrieve_collapsed(
-                q, self.nodes, self.cfg, method=method, k=top_k, max_tokens=max_tokens
+                q, self.nodes, self.cfg, method=method, k=top_k,
+                max_tokens=max_tokens, allowed=allowed,
             )
         else:
+            if allowed is not None:
+                raise ValueError(
+                    "allowed= filtering applies to collapsed retrieval; "
+                    "traversal descends the full tree by construction"
+                )
             sel, ctx = retrieve_traversal(q, self.nodes, self.cfg, k=top_k)
         if as_dataframe:
             return (ctx, sel) if return_layer_information else ctx
@@ -277,6 +287,28 @@ class RaptorEngine:
         if src is None:
             raise ValueError("no tree built and no nodes given")
         return quantize_embeddings(src, emb_col="embedding")
+
+    def compact(self, target_file_bytes: int | None = None) -> dict:
+        """Table maintenance for this tree's checkpoint store: compact
+        the append-accumulating level files (streaming / incremental
+        ingest leaves one file batch per micro-batch — the classic
+        small-files problem at crawl scale). Row-identical, crash-safe,
+        ledger-preserving; see operators/maintenance.py. Returns
+        per-level reports."""
+        from raptor_rag_spark.operators.maintenance import (
+            DEFAULT_TARGET_FILE_BYTES,
+            compact_level,
+        )
+
+        tfb = target_file_bytes or DEFAULT_TARGET_FILE_BYTES
+        reports = {}
+        for layer in range(last_complete_level(self.base) + 1):
+            reports[layer] = compact_level(
+                self.spark, self.base, layer, target_file_bytes=tfb
+            )
+        if any(r.get("compacted") for r in reports.values()):
+            self._load()  # re-point at the compacted files
+        return reports
 
     def catalog(self, root: str):
         """Snapshot-table catalog (Iceberg-shaped seam) rooted at

@@ -249,8 +249,16 @@ def brute_force_knn(
     n_emb: str = "embedding",
     broadcast_queries: bool = True,  # kept for API compat (pre-strategy)
     strategy: str = "auto",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, node_id, dist, rank<=k). Exact at any batch size.
+
+    ``allowed``: optional one-column (node_id) allowlist for FILTERED
+    kNN — rows of ``nodes`` outside it never reach the scoring kernel
+    (left-semi join, planned broadcast/shuffled by size via AQE). The
+    metadata-predicate pattern is
+    ``allowed=metadata.filter(pred).select("node_id")`` so the
+    predicate is pushed down on the metadata table's own scan.
 
     strategy='broadcast' (small query batches): the query matrix is
     broadcast as numpy; each Arrow batch of NODES does one BLAS matmul
@@ -267,6 +275,12 @@ def brute_force_knn(
     import numpy as np
     import pandas as pd
 
+    if allowed is not None:
+        nodes = nodes.join(
+            allowed.withColumnRenamed(allowed.columns[0], node_id).select(node_id),
+            node_id,
+            "left_semi",
+        )
     if _resolve_strategy(strategy, queries) == "join":
         return _brute_force_knn_join(
             queries, nodes, k, query_id, node_id, q_emb, n_emb

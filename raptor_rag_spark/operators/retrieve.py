@@ -48,6 +48,7 @@ def retrieve_collapsed(
     k: int | None = None,
     max_tokens: int | None = None,
     scoring: str = "auto",
+    allowed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(selected nodes with rank/dist/cum_tokens, per-query contexts).
 
@@ -55,9 +56,23 @@ def retrieve_collapsed(
     ``scoring='auto'`` keeps small batches on the broadcast-matrix fast
     path and switches large ones to the fully distributed join path
     (no driver collect) — one query or 10^6 give identical results.
+
+    ``allowed``: optional one-column node_id allowlist (filtered
+    retrieval — e.g. restrict to one language/domain/date range via
+    ``metadata.filter(pred).select("node_id")``). Applied to the node
+    table BEFORE candidate generation, so the tile index is built over
+    the filtered set and filtered recall matches unfiltered recall.
     """
     k = k or cfg.top_k
     max_tokens = max_tokens or cfg.retrieve_max_tokens
+    if allowed is not None:
+        nodes = nodes.join(
+            allowed.withColumnRenamed(allowed.columns[0], "node_id").select(
+                "node_id"
+            ),
+            "node_id",
+            "left_semi",
+        )
     if method == "brute":
         ranked = brute_force_knn(queries, nodes, k=k, strategy=scoring)
     else:

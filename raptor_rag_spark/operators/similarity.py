@@ -460,13 +460,28 @@ class TileAnnIndex:
         return hit / total if total else 1.0
 
     def search(
-        self, queries: DataFrame, k: int = 10, ring: int = 2, scoring: str = "auto"
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        ring: int = 2,
+        scoring: str = "auto",
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """queries(query_id, q_embedding) -> (query_id, node_id, dist,
         rank<=k). Exact cosine over the unioned candidate set.
         ``scoring='auto'`` switches the re-rank (and the probe-join
         hint) from the broadcast fast path to the fully distributed
-        join path above BROADCAST_MAX_QUERIES queries."""
+        join path above BROADCAST_MAX_QUERIES queries.
+
+        ``allowed``: one-column (node_id) allowlist — FILTERED ANN.
+        Candidates are semi-joined against it BEFORE the embedding join
+        and scoring kernel, so disallowed nodes never ship a vector.
+        Metadata predicates become
+        ``allowed=metadata.filter(pred).select("node_id")`` (predicate
+        pushdown happens on the metadata scan). Under a selective
+        filter, fewer candidates survive per probe cell — raise
+        ``ring`` to restore recall (the probe region, not the corpus
+        tiling, is what bounds filtered recall)."""
         from raptor_rag_spark.operators.knn import _resolve_strategy, probe_cells_join
 
         q = queries.localCheckpoint(eager=True)
@@ -488,6 +503,14 @@ class TileAnnIndex:
             )
             cands = c if cands is None else cands.unionByName(c)
         cands = cands.dropDuplicates(["query_id", "node_id"])
+        if allowed is not None:
+            cands = cands.join(
+                allowed.withColumnRenamed(allowed.columns[0], "node_id").select(
+                    "node_id"
+                ),
+                "node_id",
+                "left_semi",
+            )
         if self.quantized:
             from raptor_rag_spark.operators.knn import _score_candidates_quantized
 

@@ -204,3 +204,33 @@ def test_sample_and_quantize_facade(spark, tmp_path_factory):
     qz = eng.quantize_corpus(emb)
     row = qz.select("q_vec", "q_scale").first()
     assert len(row["q_vec"]) == 64 and row["q_scale"] > 0
+
+
+def test_filtered_retrieval_respects_allowlist(built):
+    """allowed= restricts collapsed retrieval to the allowlisted nodes
+    (filtered RAG: per-language/domain/date retrieval)."""
+    _, eng = built
+    leaf_ids = eng.nodes.filter(F.col("layer") == 0).select("node_id")
+    ctx, sel = eng.retrieve(
+        ["veri isleme"], top_k=3, return_layer_information=True,
+        allowed=leaf_ids,
+    )
+    assert 0 in ctx and len(ctx[0]) > 0
+    assert {r["layer"] for r in sel.collect()} == {0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="traversal"):
+        eng.retrieve("x", collapse_tree=False, allowed=leaf_ids)
+
+
+def test_engine_compact_preserves_retrieval(built):
+    """Facade-level table maintenance: compaction leaves rows (and so
+    retrieval results) identical while reducing level-0 file count."""
+    _, eng = built
+    before = eng.retrieve(["berber dukkani"], top_k=3, max_tokens=300)
+    n_nodes = eng.nodes.count()
+    reports = eng.compact()
+    assert reports[0]["compacted"] is True
+    assert reports[0]["files_after"] < reports[0]["files_before"]
+    assert eng.nodes.count() == n_nodes
+    assert eng.retrieve(["berber dukkani"], top_k=3, max_tokens=300) == before
