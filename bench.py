@@ -538,6 +538,44 @@ def main() -> None:
 
     timed("ann_index_search_2proj_1000q", _multiproj_search_1000q)
 
+    # IVF index: the k-means coarse-quantizer twin of the tile index —
+    # nprobe is its recall/cost knob (vs the tile index's ring); recall
+    # reuses the 200-query exact baseline from knn_recall_measure
+    def _ivf_build():
+        from raptor_rag_spark.operators.ivf import IvfIndex
+
+        recall_holder["ivf"] = IvfIndex(
+            corpus["nodes"].select("node_id", "embedding"),
+            dim=DIM, nlist=64, seed=42,
+        )
+
+    timed("ivf_build", _ivf_build)
+
+    def _ivf_search_recall():
+        q = recall_holder["q"].select("query_id", "q_embedding")
+        got = recall_holder["ivf"].search(q, k=10, nprobe=16).localCheckpoint(eager=True)
+        bf = recall_holder["bf"]
+        inter = got.select("query_id", "node_id").intersect(
+            bf.select("query_id", "node_id")
+        )
+        recall_holder["recall_at_10_ivf"] = round(inter.count() / bf.count(), 4)
+
+    timed("ivf_search_200q", _ivf_search_recall)
+
+    def _ivf_search_1000q():
+        from pyspark.sql import functions as F
+
+        q = (
+            corpus["nodes"].orderBy("node_id").limit(1000)
+            .select(F.col("node_id").alias("query_id"),
+                    F.col("embedding").alias("q_embedding"))
+        )
+        recall_holder["ivf"].search(q, k=10, nprobe=16).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("ivf_search_1000q", _ivf_search_1000q)
+
     queries = em.queries()
     curated = (
         "pricing_summary",
@@ -692,6 +730,8 @@ def main() -> None:
             "multiproj_queries_per_sec": round(
                 1000 / timings["ann_index_search_2proj_1000q"], 2
             ),
+            "knn_recall_at_10_ivf": recall_holder.get("recall_at_10_ivf"),
+            "ivf_queries_per_sec": round(1000 / timings["ivf_search_1000q"], 2),
             "incremental_scattered_recompute_frac": tree_holder.get("scattered_frac"),
             "incremental_clustered_recompute_frac": tree_holder.get("clustered_frac"),
             "incremental_clustered_rows": tree_holder.get("clustered_rows"),

@@ -259,6 +259,17 @@ class RaptorEngine:
             raise ValueError("no tree built and no nodes given")
         return TileAnnIndex(src.select("node_id", "embedding"), dim=self.dim, **kw)
 
+    def ivf_index(self, nodes: DataFrame | None = None, **kw):
+        """IVF (k-means coarse-quantizer) ANN index over the built
+        tree's nodes (or any (node_id, embedding) DataFrame) — the
+        inverted-list twin of ann_index(); see operators/ivf.py."""
+        from raptor_rag_spark.operators.ivf import IvfIndex
+
+        src = nodes if nodes is not None else self.nodes
+        if src is None:
+            raise ValueError("no tree built and no nodes given")
+        return IvfIndex(src.select("node_id", "embedding"), dim=self.dim, **kw)
+
     def sample_documents(
         self,
         docs: DataFrame,

@@ -1,0 +1,328 @@
+"""IVF (inverted-file) ANN index — the k-means coarse-quantizer member
+of the similarity family, alongside the projection/quadtree
+``TileAnnIndex`` (operators/similarity.py).
+
+The reference ships only a flat exact index (FaissRetriever.py:192-200,
+``faiss.IndexFlatIP``); FAISS's own scale path for that index is the
+IVF family (IndexIVFFlat: train a k-means coarse quantizer, bucket
+vectors into inverted lists, probe the ``nprobe`` nearest lists at
+query time). This module recasts that design Spark-first:
+
+- **Train** on a deterministic bounded sample (``xxhash64(id, seed)``
+  order — repartition-invariant, same trick as stratified sampling in
+  textstats.py). The sample is the ONLY driver-resident build state and
+  its size is a constant independent of corpus size — exactly how FAISS
+  trains IVF on a sample, never the full set. Spherical k-means
+  (unit-norm centroids) matches cosine/IP search.
+- **Assign** every corpus vector to its nearest centroid in one
+  map-only Arrow pass (broadcast centroid matrix, one BLAS matmul per
+  batch; argmax over unit centroids is scale-invariant, so corpus
+  vectors need no normalization). No shuffle: the inverted "lists" are
+  just a (node_id, list_id) DataFrame.
+- **Search** probes the top-``nprobe`` centroids per query with the
+  same broadcast-matmul kernel (map-only on the query side, so 10^6+
+  query batches probe without any driver collect), equi-joins the list
+  table on list_id for candidates, then reuses the exact cosine re-rank
+  kernels from operators/knn.py (`_score_candidates`, broadcast/join
+  strategy auto-switch at BROADCAST_MAX_QUERIES).
+
+Scale notes (100 TB): the centroid matrix is nlist x dim floats
+(4096 x 1024 x 8B = 32 MB) — a legitimate broadcast, like the tile
+index's key sets. The candidate join shuffles on list_id with at most
+nlist distinct keys; hot lists (skewed corpora) are the IVF analog of
+hot cells and the same mitigations apply (raise nlist, AQE skew join —
+spherical k-means already splits dense regions into more lists than
+uniform tiling would). nlist ~ sqrt(N) is the usual guidance; nprobe is
+the recall/cost knob, and nprobe == nlist degenerates to exact brute
+force (pytest-asserted equality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_rag_spark.operators.knn import (
+    _rank_and_take,
+    _resolve_strategy,
+    _score_candidates,
+    brute_force_knn,
+    require_integral_id,
+    vec_matrix,
+)
+
+
+def train_centroids(
+    nodes: DataFrame,
+    nlist: int,
+    id_col: str = "node_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 16384,
+    n_iters: int = 10,
+):
+    """Deterministic spherical k-means over a bounded sample ->
+    (nlist', dim) unit-norm float64 centroid matrix (nlist' <= nlist
+    when the sample is smaller than nlist).
+
+    Determinism: the sample is the first ``train_sample`` rows by
+    (xxhash64(id, seed), id) — invariant to partitioning and input
+    order; init picks ``nlist`` distinct sample rows via a seeded RNG;
+    Lloyd updates are numpy reductions over that fixed sample, so two
+    builds from the same data are bit-identical. An emptied list keeps
+    its previous centroid (no random re-seeding mid-iteration).
+    """
+    import numpy as np
+
+    sample_pdf = (
+        nodes.select(id_col, emb_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h", id_col)
+        .limit(train_sample)
+        .select(emb_col)
+        .toPandas()
+    )
+    x = vec_matrix(sample_pdf[emb_col], emb_col, "train_centroids")
+    if not len(x):
+        raise ValueError("train_centroids: empty corpus")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x = x / norms
+
+    k = min(nlist, len(x))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def assign_lists(
+    nodes: DataFrame,
+    centroids,
+    id_col: str = "node_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(node_id, list_id) nearest-centroid assignment — one map-only
+    Arrow pass, broadcast centroids, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    require_integral_id(nodes, id_col, "assign_lists")
+    spark = nodes.sparkSession
+    b_cent = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    dim = int(np.asarray(centroids).shape[1])
+
+    def kernel(it):
+        c = b_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = vec_matrix(pdf[emb_col], emb_col, "assign_lists", expect_dim=dim)
+            lid = np.argmax(mat @ c.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": lid.astype(np.int32),
+                }
+            )
+
+    return nodes.select(id_col, emb_col).mapInPandas(
+        kernel, f"{id_col} long, list_id int"
+    )
+
+
+class IvfIndex:
+    """Inverted-file ANN index: k-means coarse quantizer + inverted
+    lists as a DataFrame + exact cosine re-rank over probed lists.
+
+    Mirrors ``TileAnnIndex``'s shape: build state is two DataFrames
+    (``lists``: (node_id, list_id), pinned; ``nodes``: the scoring
+    columns) plus the small centroid matrix — nothing else
+    driver-resident, so the index scales with the cluster.
+    """
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        id_col: str = "node_id",
+        dim: int | None = None,
+        nlist: int = 64,
+        seed: int = 42,
+        train_sample: int = 16384,
+        n_iters: int = 10,
+        _skip_build: bool = False,
+    ) -> None:
+        import numpy as np
+
+        self.id_col = id_col
+        self.nlist = nlist
+        self.seed = seed
+        self.train_sample = train_sample
+        self.n_iters = n_iters
+        self.recall: float | None = None
+        if _skip_build:
+            return
+        require_integral_id(nodes, id_col, "IvfIndex")
+        if dim is None:
+            dim = len(nodes.select("embedding").first()[0])
+        self.dim = dim
+        self.nodes = nodes.select(
+            F.col(id_col).alias("node_id"), "embedding"
+        ).localCheckpoint(eager=True)
+        self.centroids = train_centroids(
+            self.nodes, nlist, "node_id", "embedding", seed, train_sample, n_iters
+        )
+        self.lists = assign_lists(self.nodes, self.centroids).localCheckpoint(
+            eager=True
+        )
+
+    def list_sizes(self) -> DataFrame:
+        """(list_id, n) occupancy per inverted list — the skew
+        diagnostic (hot lists are the IVF analog of hot cells)."""
+        return self.lists.groupBy("list_id").agg(F.count("*").alias("n"))
+
+    def _probe(self, queries: DataFrame, nprobe: int) -> DataFrame:
+        """(query_id, list_id) top-nprobe centroids per query; map-only
+        on the query side (broadcast centroid matmul), so arbitrarily
+        large query batches probe without a driver collect."""
+        import numpy as np
+        import pandas as pd
+
+        require_integral_id(queries, "query_id", "IvfIndex.search")
+        spark = queries.sparkSession
+        b_cent = spark.sparkContext.broadcast(self.centroids)
+        npb = min(nprobe, len(self.centroids))
+        dim = self.dim
+
+        def kernel(it):
+            c = b_cent.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                q_mat = vec_matrix(
+                    pdf["q_embedding"], "q_embedding", "IvfIndex.search", expect_dim=dim
+                )
+                sims = q_mat @ c.T
+                part = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            pdf["query_id"].to_numpy(dtype=np.int64), npb
+                        ),
+                        "list_id": part.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return queries.select("query_id", "q_embedding").mapInPandas(
+            kernel, "query_id long, list_id int"
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        scoring: str = "auto",
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """queries(query_id, q_embedding) -> (query_id, node_id, dist,
+        rank<=k); exact cosine over the probed lists' members.
+
+        ``allowed``: one-column node allowlist (FILTERED ANN), applied
+        before the embedding join so disallowed nodes never ship a
+        vector; under a selective filter raise ``nprobe`` to restore
+        recall (the probe region bounds filtered recall, same trade as
+        the tile index's ``ring``).
+        """
+        q = queries.localCheckpoint(eager=True)
+        scoring = _resolve_strategy(scoring, q)
+        pc = self._probe(q, nprobe)
+        probe = F.broadcast(pc) if scoring == "broadcast" else pc
+        cands = probe.join(self.lists, "list_id").select("query_id", "node_id")
+        if allowed is not None:
+            cands = cands.join(
+                allowed.withColumnRenamed(allowed.columns[0], "node_id").select(
+                    "node_id"
+                ),
+                "node_id",
+                "left_semi",
+            )
+        scored = _score_candidates(
+            cands.join(self.nodes, "node_id"), q, strategy=scoring
+        )
+        return _rank_and_take(scored, k)
+
+    def measure_recall(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 8
+    ) -> float:
+        """recall@k vs exact brute force — offline drift check, same
+        contract as TileAnnIndex.measure_recall."""
+        approx = self.search(queries, k=k, nprobe=nprobe).select("query_id", "node_id")
+        exact = brute_force_knn(queries, self.nodes, k=k).select("query_id", "node_id")
+        hit = approx.join(exact, ["query_id", "node_id"], "inner").count()
+        total = exact.count()
+        return hit / total if total else 1.0
+
+    def save(self, path: str, recall: float | None = None) -> None:
+        """Persist nodes + lists as parquet, centroids + params as
+        small sidecars; ``recall`` embeds the measured drift baseline."""
+        spark = self.nodes.sparkSession
+        self.nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes.parquet"))
+        self.lists.write.mode("overwrite").parquet(os.path.join(path, "lists.parquet"))
+        cent_rows = [
+            (int(i), [float(v) for v in row]) for i, row in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            cent_rows, "list_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids.parquet")
+        )
+        meta = {
+            "dim": self.dim,
+            "nlist": self.nlist,
+            "seed": self.seed,
+            "train_sample": self.train_sample,
+            "n_iters": self.n_iters,
+            "recall": recall if recall is not None else self.recall,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Rebuild from a save() dir; the only driver materialization is
+        the nlist x dim centroid table (bounded)."""
+        import numpy as np
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(
+            nodes=None,  # type: ignore[arg-type]
+            nlist=meta["nlist"],
+            seed=meta["seed"],
+            train_sample=meta["train_sample"],
+            n_iters=meta["n_iters"],
+            _skip_build=True,
+        )
+        idx.dim = meta["dim"]
+        idx.recall = meta.get("recall")
+        idx.nodes = spark.read.parquet(os.path.join(path, "nodes.parquet"))
+        idx.lists = spark.read.parquet(os.path.join(path, "lists.parquet"))
+        cent = (
+            spark.read.parquet(os.path.join(path, "centroids.parquet"))
+            .orderBy("list_id")
+            .toPandas()
+        )
+        idx.centroids = np.asarray(list(cent["centroid"]), dtype=np.float64)
+        return idx
