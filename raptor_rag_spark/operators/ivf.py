@@ -263,6 +263,41 @@ class IvfIndex:
         )
         return _rank_and_take(scored, k)
 
+    def append(self, new_nodes: DataFrame) -> dict:
+        """Absorb an append batch: assign the new vectors to the FIXED
+        existing centroids (one map-only pass — standard IVF practice;
+        FAISS IndexIVF.add does exactly this) and extend nodes + lists.
+        No re-training, no re-assignment of existing rows, no shuffle.
+
+        The coarse quantizer staying fixed is what makes appends O(new):
+        the cost is that a drifting corpus distribution slowly degrades
+        list balance/recall — the documented workflow is measure_recall
+        before/after and re-train (rebuild) when drift exceeds budget,
+        mirroring TileAnnIndex's recall-drift field.
+
+        Returns {"appended": n} for the caller's ledger.
+        """
+        new = new_nodes.select(
+            F.col(self.id_col).alias("node_id")
+            if self.id_col in new_nodes.columns
+            else F.col("node_id"),
+            "embedding",
+        )
+        require_integral_id(new, "node_id", "IvfIndex.append")
+        dup = self.nodes.select("node_id").join(
+            new.select("node_id"), "node_id", "left_semi"
+        )
+        if dup.take(1):
+            raise ValueError(
+                "IvfIndex.append: batch contains node_ids already in the "
+                "index — appends must be new rows (dedup upstream)"
+            )
+        new = new.localCheckpoint(eager=True)
+        new_lists = assign_lists(new, self.centroids).localCheckpoint(eager=True)
+        self.nodes = self.nodes.unionByName(new).localCheckpoint(eager=True)
+        self.lists = self.lists.unionByName(new_lists).localCheckpoint(eager=True)
+        return {"appended": new.count()}
+
     def measure_recall(
         self, queries: DataFrame, k: int = 10, nprobe: int = 8
     ) -> float:

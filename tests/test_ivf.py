@@ -107,3 +107,37 @@ def test_save_load_roundtrip(tmp_path, spark, queries, idx):
 def test_list_sizes_cover_corpus(emb, idx):
     total = idx.list_sizes().agg(F.sum("n")).first()[0]
     assert total == emb.count()
+
+
+def test_append_equals_fixed_centroid_assignment(spark, emb):
+    """append assigns new rows to the FIXED centroids — lists after an
+    append are row-identical to assigning the full corpus against the
+    same centroids, and each appended vector finds itself at rank 1."""
+    from raptor_rag_spark.operators.ivf import assign_lists
+
+    base = emb.filter(F.col("node_id") % 5 != 0)
+    batch = emb.filter(F.col("node_id") % 5 == 0)
+    idx2 = IvfIndex(base, nlist=16, seed=42, n_iters=8)
+    got = idx2.append(batch)
+    assert got["appended"] == batch.count()
+    want = sorted(
+        (r["node_id"], r["list_id"])
+        for r in assign_lists(emb, idx2.centroids).collect()
+    )
+    have = sorted((r["node_id"], r["list_id"]) for r in idx2.lists.collect())
+    assert have == want
+    assert idx2.nodes.count() == emb.count()
+
+    q = batch.limit(6).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top1 = idx2.search(q, k=1, nprobe=4).filter(F.col("rank") == 1)
+    assert sorted(r["node_id"] for r in top1.collect()) == sorted(
+        r["query_id"] for r in top1.collect()
+    )
+
+
+def test_append_rejects_duplicate_ids(emb):
+    idx2 = IvfIndex(emb, nlist=8, seed=1, n_iters=4)
+    with pytest.raises(ValueError, match="already in the index"):
+        idx2.append(emb.limit(3))
