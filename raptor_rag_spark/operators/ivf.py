@@ -171,6 +171,9 @@ class IvfIndex:
         self.train_sample = train_sample
         self.n_iters = n_iters
         self.recall: float | None = None
+        # set by load(): the list_id-partitioned on-disk store whose
+        # scan DPP-prunes to the probed lists (see save())
+        self.store: DataFrame | None = None
         if _skip_build:
             return
         require_integral_id(nodes, id_col, "IvfIndex")
@@ -248,8 +251,31 @@ class IvfIndex:
         q = queries.localCheckpoint(eager=True)
         scoring = _resolve_strategy(scoring, q)
         pc = self._probe(q, nprobe)
-        probe = F.broadcast(pc) if scoring == "broadcast" else pc
-        cands = probe.join(self.lists, "list_id").select("query_id", "node_id")
+        if self.store is not None and scoring == "broadcast":
+            # loaded partitioned store: the probed list ids become a
+            # STATIC partition filter on the store scan, so only those
+            # list_id directories are read — FAISS's inverted-list seek
+            # as parquet partition pruning (plan-asserted in tests).
+            # The collect is bounded by nlist distinct ints (NOT by
+            # query or corpus count); Catalyst's DynamicPruning rule
+            # can't fire here (it needs a selective filter predicate on
+            # the probe side, and a computed probe has none), so the
+            # bounded static filter is the reliable route. On the join
+            # path (>100k queries) nearly every list is probed anyway —
+            # pruning buys nothing, skip the materialization.
+            pc = pc.localCheckpoint(eager=True)
+            probed = [r[0] for r in pc.select("list_id").distinct().collect()]
+            store = self.store.filter(F.col("list_id").isin(probed))
+            cands = F.broadcast(pc).join(store, "list_id").select(
+                "query_id", "node_id", "embedding"
+            )
+        elif self.store is not None:
+            cands = pc.join(self.store, "list_id").select(
+                "query_id", "node_id", "embedding"
+            )
+        else:
+            probe = F.broadcast(pc) if scoring == "broadcast" else pc
+            cands = probe.join(self.lists, "list_id").select("query_id", "node_id")
         if allowed is not None:
             cands = cands.join(
                 allowed.withColumnRenamed(allowed.columns[0], "node_id").select(
@@ -258,9 +284,9 @@ class IvfIndex:
                 "node_id",
                 "left_semi",
             )
-        scored = _score_candidates(
-            cands.join(self.nodes, "node_id"), q, strategy=scoring
-        )
+        if self.store is None:
+            cands = cands.join(self.nodes, "node_id")
+        scored = _score_candidates(cands, q, strategy=scoring)
         return _rank_and_take(scored, k)
 
     def append(self, new_nodes: DataFrame) -> dict:
@@ -275,8 +301,12 @@ class IvfIndex:
         before/after and re-train (rebuild) when drift exceeds budget,
         mirroring TileAnnIndex's recall-drift field.
 
-        Returns {"appended": n} for the caller's ledger.
+        Returns {"appended": n} for the caller's ledger. On a loaded
+        index the in-memory view absorbs the batch and the partitioned
+        on-disk store is dropped from the search path (stale) — call
+        save() again to re-persist with the new rows in their lists.
         """
+        self.store = None
         new = new_nodes.select(
             F.col(self.id_col).alias("node_id")
             if self.id_col in new_nodes.columns
@@ -310,11 +340,27 @@ class IvfIndex:
         return hit / total if total else 1.0
 
     def save(self, path: str, recall: float | None = None) -> None:
-        """Persist nodes + lists as parquet, centroids + params as
-        small sidecars; ``recall`` embeds the measured drift baseline."""
+        """Persist the index with the inverted lists AS PARQUET
+        PARTITIONS: ``store.parquet/list_id=<j>/`` holds list j's
+        (node_id, embedding) rows — the Spark-native transliteration of
+        FAISS's on-disk inverted-list layout. A loaded index's search
+        then reads ONLY the probed lists from disk: the probe⋈store
+        join is on the partition column with a broadcast probe side, so
+        Catalyst inserts a DynamicPruning subquery on the store scan
+        (plan-asserted in tests) and an nprobe/nlist probe scans
+        nprobe/nlist of the corpus bytes — the partition count is
+        bounded by nlist (≤ thousands of dirs), never by corpus size.
+
+        Centroids + params land as small sidecars; ``recall`` embeds
+        the measured drift baseline."""
         spark = self.nodes.sparkSession
-        self.nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes.parquet"))
-        self.lists.write.mode("overwrite").parquet(os.path.join(path, "lists.parquet"))
+        (
+            self.nodes.join(self.lists, "node_id")
+            .select("list_id", "node_id", "embedding")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(path, "store.parquet"))
+        )
         cent_rows = [
             (int(i), [float(v) for v in row]) for i, row in enumerate(self.centroids)
         ]
@@ -352,8 +398,10 @@ class IvfIndex:
         )
         idx.dim = meta["dim"]
         idx.recall = meta.get("recall")
-        idx.nodes = spark.read.parquet(os.path.join(path, "nodes.parquet"))
-        idx.lists = spark.read.parquet(os.path.join(path, "lists.parquet"))
+        store = spark.read.parquet(os.path.join(path, "store.parquet"))
+        idx.store = store
+        idx.nodes = store.select("node_id", "embedding")
+        idx.lists = store.select("node_id", "list_id")
         cent = (
             spark.read.parquet(os.path.join(path, "centroids.parquet"))
             .orderBy("list_id")

@@ -141,3 +141,51 @@ def test_append_rejects_duplicate_ids(emb):
     idx2 = IvfIndex(emb, nlist=8, seed=1, n_iters=4)
     with pytest.raises(ValueError, match="already in the index"):
         idx2.append(emb.limit(3))
+
+
+def test_persisted_store_prunes_partitions(tmp_path, spark, emb, queries, idx):
+    """A loaded index stores inverted lists as parquet partitions; a
+    broadcast-path search reads ONLY the probed list_id directories —
+    the scan's PartitionFilters carries the probed-id INSET (FAISS
+    inverted-list seek as partition pruning)."""
+    import os
+
+    idx.save(str(tmp_path / "ivfp"))
+    parts = [
+        p for p in os.listdir(tmp_path / "ivfp" / "store.parquet")
+        if p.startswith("list_id=")
+    ]
+    assert len(parts) == len(idx.centroids)
+
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivfp"))
+    got = loaded.search(queries, k=5, nprobe=4)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("INSET" in l or " IN " in l for l in pf), pf
+    # both persisted strategies match the in-memory result
+    want = _key(idx.search(queries, k=5, nprobe=4))
+    assert _key(got) == want
+    assert _key(loaded.search(queries, k=5, nprobe=4, scoring="join")) == want
+
+
+def test_append_after_load_drops_stale_store(tmp_path, spark, emb):
+    """append on a loaded index must not keep serving the (now stale)
+    partitioned store; re-save persists the new rows."""
+    base = emb.filter(F.col("node_id") % 7 != 0)
+    batch = emb.filter(F.col("node_id") % 7 == 0).localCheckpoint(eager=True)
+    idx2 = IvfIndex(base, nlist=8, seed=3, n_iters=4)
+    idx2.save(str(tmp_path / "ivf2"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivf2"))
+    loaded.append(batch)
+    assert loaded.store is None
+    q = batch.limit(4).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top1 = loaded.search(q, k=1, nprobe=8).filter(F.col("rank") == 1)
+    assert top1.filter(F.col("query_id") == F.col("node_id")).count() == 4
+    loaded.save(str(tmp_path / "ivf3"))
+    re = IvfIndex.load(spark, str(tmp_path / "ivf3"))
+    assert re.nodes.count() == emb.count()
+    assert _key(re.search(q, k=1, nprobe=8)) == _key(top1)
