@@ -576,6 +576,73 @@ def main() -> None:
 
     timed("ivf_search_1000q", _ivf_search_1000q)
 
+    # Quantized IVF: int8 inverted lists with NO float copy — same
+    # coarse quantizer/list structure (trained on the float input), 4x
+    # fewer bytes resident and per probed partition. The byte ratio is
+    # measured from the two persisted stores, not asserted.
+    def _ivf_build_quantized():
+        from raptor_rag_spark.operators.ivf import IvfIndex
+
+        recall_holder["qivf"] = IvfIndex(
+            corpus["nodes"].select("node_id", "embedding"),
+            dim=DIM, nlist=64, seed=42, quantized=True,
+        )
+
+    timed("ivf_build_quantized", _ivf_build_quantized)
+
+    def _ivf_quantized_recall():
+        q = recall_holder["q"].select("query_id", "q_embedding")
+        got = recall_holder["qivf"].search(q, k=10, nprobe=16).localCheckpoint(
+            eager=True
+        )
+        bf = recall_holder["bf"]
+        inter = got.select("query_id", "node_id").intersect(
+            bf.select("query_id", "node_id")
+        )
+        recall_holder["recall_at_10_ivf_q"] = round(inter.count() / bf.count(), 4)
+
+    timed("ivf_search_quantized_200q", _ivf_quantized_recall)
+
+    def _ivf_quantized_1000q():
+        from pyspark.sql import functions as F
+
+        q = (
+            corpus["nodes"].orderBy("node_id").limit(1000)
+            .select(F.col("node_id").alias("query_id"),
+                    F.col("embedding").alias("q_embedding"))
+        )
+        recall_holder["qivf"].search(q, k=10, nprobe=16).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("ivf_search_quantized_1000q", _ivf_quantized_1000q)
+
+    def _ivf_store_bytes():
+        """Persist the float and int8 stores side by side and record the
+        on-disk byte ratio — the quantization claim as a measurement."""
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="bench_ivf_")
+        try:
+            recall_holder["ivf"].save(os.path.join(base, "flt"))
+            recall_holder["qivf"].save(os.path.join(base, "int8"))
+
+            def _du(p):
+                return sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(os.path.join(p, "store.parquet"))
+                    for f in fs
+                )
+
+            recall_holder["ivf_bytes_ratio"] = round(
+                _du(os.path.join(base, "int8")) / _du(os.path.join(base, "flt")), 4
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    timed("ivf_save_both_stores", _ivf_store_bytes)
+
     queries = em.queries()
     curated = (
         "pricing_summary",
@@ -732,6 +799,11 @@ def main() -> None:
             ),
             "knn_recall_at_10_ivf": recall_holder.get("recall_at_10_ivf"),
             "ivf_queries_per_sec": round(1000 / timings["ivf_search_1000q"], 2),
+            "knn_recall_at_10_ivf_quantized": recall_holder.get("recall_at_10_ivf_q"),
+            "ivf_quantized_queries_per_sec": round(
+                1000 / timings["ivf_search_quantized_1000q"], 2
+            ),
+            "ivf_store_bytes_int8_over_float": recall_holder.get("ivf_bytes_ratio"),
             "incremental_scattered_recompute_frac": tree_holder.get("scattered_frac"),
             "incremental_clustered_recompute_frac": tree_holder.get("clustered_frac"),
             "incremental_clustered_rows": tree_holder.get("clustered_rows"),

@@ -161,8 +161,18 @@ class IvfIndex:
         seed: int = 42,
         train_sample: int = 16384,
         n_iters: int = 10,
+        quantized: bool = False,
         _skip_build: bool = False,
     ) -> None:
+        """``quantized=True`` stores the inverted lists as int8
+        (q_vec array<tinyint> + q_scale, operators/quantize.py) with NO
+        float copy — ~4x smaller resident/persisted lists and 4x fewer
+        bytes per probed partition (compounds with the persisted
+        store's partition pruning). Training and list assignment run on
+        the float input BEFORE quantization, so the coarse quantizer
+        and list structure are identical to the float index
+        (pytest-asserted); only the stored scoring columns differ, and
+        distances carry the documented int8 rounding error."""
         import numpy as np
 
         self.id_col = id_col
@@ -170,6 +180,7 @@ class IvfIndex:
         self.seed = seed
         self.train_sample = train_sample
         self.n_iters = n_iters
+        self.quantized = quantized
         self.recall: float | None = None
         # set by load(): the list_id-partitioned on-disk store whose
         # scan DPP-prunes to the probed lists (see save())
@@ -180,15 +191,28 @@ class IvfIndex:
         if dim is None:
             dim = len(nodes.select("embedding").first()[0])
         self.dim = dim
-        self.nodes = nodes.select(
+        flt = nodes.select(
             F.col(id_col).alias("node_id"), "embedding"
         ).localCheckpoint(eager=True)
         self.centroids = train_centroids(
-            self.nodes, nlist, "node_id", "embedding", seed, train_sample, n_iters
+            flt, nlist, "node_id", "embedding", seed, train_sample, n_iters
         )
-        self.lists = assign_lists(self.nodes, self.centroids).localCheckpoint(
-            eager=True
+        self.lists = assign_lists(flt, self.centroids).localCheckpoint(eager=True)
+        self.nodes = self._quantize(flt) if quantized else flt
+
+    @staticmethod
+    def _quantize(flt: DataFrame) -> DataFrame:
+        from raptor_rag_spark.operators.quantize import quantize_embeddings
+
+        return (
+            quantize_embeddings(flt)
+            .select("node_id", "q_vec", "q_scale")
+            .localCheckpoint(eager=True)
         )
+
+    @property
+    def _val_cols(self) -> tuple:
+        return ("q_vec", "q_scale") if self.quantized else ("embedding",)
 
     def list_sizes(self) -> DataFrame:
         """(list_id, n) occupancy per inverted list — the skew
@@ -267,11 +291,11 @@ class IvfIndex:
             probed = [r[0] for r in pc.select("list_id").distinct().collect()]
             store = self.store.filter(F.col("list_id").isin(probed))
             cands = F.broadcast(pc).join(store, "list_id").select(
-                "query_id", "node_id", "embedding"
+                "query_id", "node_id", *self._val_cols
             )
         elif self.store is not None:
             cands = pc.join(self.store, "list_id").select(
-                "query_id", "node_id", "embedding"
+                "query_id", "node_id", *self._val_cols
             )
         else:
             probe = F.broadcast(pc) if scoring == "broadcast" else pc
@@ -286,7 +310,12 @@ class IvfIndex:
             )
         if self.store is None:
             cands = cands.join(self.nodes, "node_id")
-        scored = _score_candidates(cands, q, strategy=scoring)
+        if self.quantized:
+            from raptor_rag_spark.operators.knn import _score_candidates_quantized
+
+            scored = _score_candidates_quantized(cands, q, strategy=scoring)
+        else:
+            scored = _score_candidates(cands, q, strategy=scoring)
         return _rank_and_take(scored, k)
 
     def append(self, new_nodes: DataFrame) -> dict:
@@ -324,17 +353,31 @@ class IvfIndex:
             )
         new = new.localCheckpoint(eager=True)
         new_lists = assign_lists(new, self.centroids).localCheckpoint(eager=True)
-        self.nodes = self.nodes.unionByName(new).localCheckpoint(eager=True)
+        stored = self._quantize(new) if self.quantized else new
+        self.nodes = self.nodes.unionByName(stored).localCheckpoint(eager=True)
         self.lists = self.lists.unionByName(new_lists).localCheckpoint(eager=True)
         return {"appended": new.count()}
 
     def measure_recall(
-        self, queries: DataFrame, k: int = 10, nprobe: int = 8
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        exact_nodes: DataFrame | None = None,
     ) -> float:
         """recall@k vs exact brute force — offline drift check, same
-        contract as TileAnnIndex.measure_recall."""
+        contract as TileAnnIndex.measure_recall. A quantized index
+        stores no float corpus, so the exact baseline must be passed in
+        (``exact_nodes`` = (node_id, embedding))."""
+        if exact_nodes is None:
+            if self.quantized:
+                raise ValueError(
+                    "quantized index stores no float corpus — pass "
+                    "exact_nodes=(node_id, embedding) for the exact baseline"
+                )
+            exact_nodes = self.nodes
         approx = self.search(queries, k=k, nprobe=nprobe).select("query_id", "node_id")
-        exact = brute_force_knn(queries, self.nodes, k=k).select("query_id", "node_id")
+        exact = brute_force_knn(queries, exact_nodes, k=k).select("query_id", "node_id")
         hit = approx.join(exact, ["query_id", "node_id"], "inner").count()
         total = exact.count()
         return hit / total if total else 1.0
@@ -356,7 +399,13 @@ class IvfIndex:
         spark = self.nodes.sparkSession
         (
             self.nodes.join(self.lists, "node_id")
-            .select("list_id", "node_id", "embedding")
+            .select("list_id", "node_id", *self._val_cols)
+            # co-locate each inverted list before the partitioned write:
+            # one file per list dir instead of (input partitions x
+            # lists) small files — a list is read whole at probe time,
+            # so intra-list file splits buy nothing and per-file
+            # open/footer overhead at nlist~thousands is pure cost
+            .repartition("list_id")
             .write.mode("overwrite")
             .partitionBy("list_id")
             .parquet(os.path.join(path, "store.parquet"))
@@ -375,6 +424,7 @@ class IvfIndex:
             "seed": self.seed,
             "train_sample": self.train_sample,
             "n_iters": self.n_iters,
+            "quantized": self.quantized,
             "recall": recall if recall is not None else self.recall,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -398,9 +448,10 @@ class IvfIndex:
         )
         idx.dim = meta["dim"]
         idx.recall = meta.get("recall")
+        idx.quantized = meta.get("quantized", False)
         store = spark.read.parquet(os.path.join(path, "store.parquet"))
         idx.store = store
-        idx.nodes = store.select("node_id", "embedding")
+        idx.nodes = store.select("node_id", *idx._val_cols)
         idx.lists = store.select("node_id", "list_id")
         cent = (
             spark.read.parquet(os.path.join(path, "centroids.parquet"))

@@ -170,6 +170,75 @@ def test_persisted_store_prunes_partitions(tmp_path, spark, emb, queries, idx):
     assert _key(loaded.search(queries, k=5, nprobe=4, scoring="join")) == want
 
 
+@pytest.fixture(scope="module")
+def qidx(emb):
+    return IvfIndex(emb, nlist=16, seed=42, n_iters=8, quantized=True)
+
+
+def test_quantized_same_structure_as_float(idx, qidx):
+    """quantized=True trains/assigns on the FLOAT input before
+    quantization — centroids and inverted lists are bit-identical to
+    the float index; only the stored scoring columns differ."""
+    assert np.array_equal(idx.centroids, qidx.centroids)
+    a = sorted((r["node_id"], r["list_id"]) for r in idx.lists.collect())
+    b = sorted((r["node_id"], r["list_id"]) for r in qidx.lists.collect())
+    assert a == b
+    assert set(qidx.nodes.columns) == {"node_id", "q_vec", "q_scale"}
+
+
+def test_quantized_search_recall_and_strategy_parity(emb, queries, qidx):
+    """Full-probe quantized search vs exact float brute force: recall@10
+    floor on the real testdata embeddings (neighbor gaps there exceed
+    the ±3e-3 int8 rounding error for nearly all queries); broadcast
+    and join scoring agree exactly (same int8 kernel)."""
+    got = qidx.search(queries, k=10, nprobe=len(qidx.centroids))
+    want = brute_force_knn(queries, emb, k=10).select("query_id", "node_id")
+    hit = got.select("query_id", "node_id").join(
+        want, ["query_id", "node_id"], "inner"
+    ).count()
+    assert hit / want.count() >= 0.95
+    j = qidx.search(queries, k=10, nprobe=len(qidx.centroids), scoring="join")
+    assert _key(got) == _key(j)
+
+
+def test_quantized_measure_recall_requires_exact_baseline(emb, queries, qidx):
+    with pytest.raises(ValueError, match="no float corpus"):
+        qidx.measure_recall(queries, k=10, nprobe=8)
+    r = qidx.measure_recall(queries, k=10, nprobe=8, exact_nodes=emb)
+    assert r >= 0.8, r
+
+
+def test_quantized_save_load_roundtrip(tmp_path, spark, queries, qidx):
+    """The persisted store holds int8 columns (no float copy on disk);
+    a loaded quantized index searches identically on both strategies,
+    with partition pruning intact."""
+    want = _key(qidx.search(queries, k=5, nprobe=8))
+    qidx.save(str(tmp_path / "qivf"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "qivf"))
+    assert loaded.quantized
+    store_cols = set(loaded.store.columns)
+    assert "embedding" not in store_cols
+    assert {"q_vec", "q_scale"} <= store_cols
+    assert _key(loaded.search(queries, k=5, nprobe=8)) == want
+    assert _key(loaded.search(queries, k=5, nprobe=8, scoring="join")) == want
+
+
+def test_quantized_append_self_retrieval(emb):
+    """append on a quantized index quantizes the batch for storage;
+    every appended vector finds itself at rank 1."""
+    base = emb.filter(F.col("node_id") % 5 != 0)
+    batch = emb.filter(F.col("node_id") % 5 == 0).localCheckpoint(eager=True)
+    qi = IvfIndex(base, nlist=16, seed=42, n_iters=8, quantized=True)
+    qi.append(batch)
+    assert set(qi.nodes.columns) == {"node_id", "q_vec", "q_scale"}
+    assert qi.nodes.count() == emb.count()
+    q = batch.limit(6).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top1 = qi.search(q, k=1, nprobe=4).filter(F.col("rank") == 1)
+    assert top1.filter(F.col("query_id") == F.col("node_id")).count() == 6
+
+
 def test_append_after_load_drops_stale_store(tmp_path, spark, emb):
     """append on a loaded index must not keep serving the (now stale)
     partitioned store; re-save persists the new rows."""
