@@ -33,6 +33,62 @@ def content_append_id(df: DataFrame, cols: Sequence[str]) -> str:
     return f"n{agg['n']}h{agg['h'] or 0}"
 
 
+def scrub_partitioned_leftovers(
+    live_dir: str, append_id: str, part_prefix: str
+) -> int:
+    """Remove part files of ``append_id`` from every partition dir of a
+    partitioned live dir — the rollback half of the partitioned staging
+    protocol, callable on its own so a retry can restore the
+    pre-append view BEFORE running duplicate checks against it."""
+    n = 0
+    for leftover in glob.glob(
+        os.path.join(live_dir, "*", f"part-{part_prefix}-{append_id}-*")
+    ):
+        os.remove(leftover)
+        n += 1
+    inflight = os.path.join(live_dir, f"_inflight_{append_id}")
+    shutil.rmtree(inflight, ignore_errors=True)
+    return n
+
+
+def stage_partitioned_parquet_append(
+    df: DataFrame,
+    live_dir: str,
+    append_id: str,
+    part_col: str,
+    part_prefix: str,
+) -> int:
+    """Partitioned twin of :func:`stage_parquet_append`: append ``df``
+    into a ``part_col=``-partitioned live dir, landing each row's file
+    INSIDE its partition directory (so partition pruning keeps working
+    on the appended rows). One partitioned write to an underscore-hidden
+    inflight subdir, then per-partition renames under id-named part
+    files; scrubs leftovers of a crashed earlier attempt of the same id
+    first. Returns the number of partition dirs touched (bounded by
+    ``df``'s distinct partition values, never the table's). The caller
+    commits its metadata AFTER this returns (commit-last)."""
+    scrub_partitioned_leftovers(live_dir, append_id, part_prefix)
+    inflight = os.path.join(live_dir, f"_inflight_{append_id}")
+    df.write.mode("overwrite").partitionBy(part_col).parquet(inflight)
+    touched = 0
+    for pdir in sorted(glob.glob(os.path.join(inflight, f"{part_col}=*"))):
+        live_part = os.path.join(live_dir, os.path.basename(pdir))
+        os.makedirs(live_part, exist_ok=True)
+        for i, src in enumerate(sorted(glob.glob(os.path.join(pdir, "part-*")))):
+            bn = os.path.basename(src)
+            ext = bn[bn.index(".") :] if "." in bn else ".parquet"
+            os.replace(
+                src,
+                os.path.join(
+                    live_part, f"part-{part_prefix}-{append_id}-{i:05d}{ext}"
+                ),
+            )
+        touched += 1
+    shutil.rmtree(inflight, ignore_errors=True)
+    df.sparkSession.catalog.refreshByPath(live_dir)
+    return touched
+
+
 def stage_parquet_append(
     df: DataFrame, live_dir: str, append_id: str, part_prefix: str
 ) -> None:

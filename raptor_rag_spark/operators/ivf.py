@@ -358,6 +358,89 @@ class IvfIndex:
         self.lists = self.lists.unionByName(new_lists).localCheckpoint(eager=True)
         return {"appended": new.count()}
 
+    def append_persisted(self, path: str, new_nodes: DataFrame) -> dict:
+        """Incremental maintenance of a PERSISTED index (the crawl-scale
+        ingest path): assign the batch to the FIXED centroids and land
+        its rows as new id-named part files INSIDE the affected
+        ``list_id=`` partition directories — no existing file is read or
+        rewritten (an IVF append is pure row insertion, simpler than the
+        tile index's re-tiling), partition pruning keeps working on the
+        appended rows, and I/O is O(new rows + affected lists), bounded
+        by nlist. Mirrors ``TileAnnIndex.append_persisted``'s
+        crash-safe discipline (functions/staging.py): the batch's
+        content-derived id is committed to meta.json LAST, so a
+        post-commit retry no-ops on the ledger; a mid-crash retry first
+        scrubs this id's half-landed files BY NAME (restoring the
+        pre-append view before the duplicate check) and replays to the
+        identical file set. The in-memory store/nodes/lists re-point at
+        the updated storage (lazy reads).
+
+        After many appended micro-batches the per-list file count grows;
+        ``operators/maintenance.compact_parquet_dir`` on a list dir (or
+        a re-save) is the compaction story, same as the level-0 store.
+        """
+        from raptor_rag_spark.functions.staging import (
+            content_append_id,
+            scrub_partitioned_leftovers,
+            stage_partitioned_parquet_append,
+        )
+
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if bool(meta.get("quantized", False)) != self.quantized:
+            raise ValueError(
+                "append_persisted: index quantized flag does not match the "
+                "persisted store at this path"
+            )
+        new = new_nodes.select(
+            F.col(self.id_col).alias("node_id")
+            if self.id_col in new_nodes.columns
+            else F.col("node_id"),
+            "embedding",
+        )
+        require_integral_id(new, "node_id", "IvfIndex.append_persisted")
+        new = new.localCheckpoint(eager=True)
+        spark = new.sparkSession
+        append_id = content_append_id(new, ["node_id", "embedding"])
+        if append_id in meta.get("appends", []):
+            return {"already_applied": append_id}
+        store_path = os.path.join(path, "store.parquet")
+        # roll back any half-landed files of THIS id before the dup
+        # check — a mid-crash replay must compare against the
+        # pre-append row set, not its own partial leftovers
+        if scrub_partitioned_leftovers(store_path, append_id, "append"):
+            spark.catalog.refreshByPath(store_path)
+        store = spark.read.parquet(store_path)
+        if store.select("node_id").join(
+            new.select("node_id"), "node_id", "left_semi"
+        ).take(1):
+            raise ValueError(
+                "IvfIndex.append_persisted: batch contains node_ids already "
+                "in the index — appends must be new rows (dedup upstream)"
+            )
+        new_lists = assign_lists(new, self.centroids)
+        stored = self._quantize(new) if self.quantized else new
+        rows = (
+            stored.join(new_lists, "node_id")
+            .select("list_id", "node_id", *self._val_cols)
+            .repartition("list_id")
+        )
+        touched = stage_partitioned_parquet_append(
+            rows, store_path, append_id, "list_id", "append"
+        )
+        meta.setdefault("appends", []).append(append_id)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh, indent=1)
+        fresh = spark.read.parquet(store_path)
+        self.store = fresh
+        self.nodes = fresh.select("node_id", *self._val_cols)
+        self.lists = fresh.select("node_id", "list_id")
+        return {
+            "append_id": append_id,
+            "appended": new.count(),
+            "affected_lists": touched,
+        }
+
     def measure_recall(
         self,
         queries: DataFrame,

@@ -239,6 +239,117 @@ def test_quantized_append_self_retrieval(emb):
     assert top1.filter(F.col("query_id") == F.col("node_id")).count() == 6
 
 
+def _file_snapshot(root):
+    import hashlib
+    import os
+
+    snap = {}
+    for dp, _, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(dp, f)
+            with open(p, "rb") as fh:
+                snap[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return snap
+
+
+def test_append_persisted_equals_in_memory_append(tmp_path, spark, emb):
+    """Persisted O(new) append == in-memory append (same fixed
+    centroids): identical search results; every pre-existing store file
+    is byte-identical (an IVF append never rewrites); new files land
+    only inside the batch's affected list_id dirs."""
+    from raptor_rag_spark.operators.ivf import assign_lists
+
+    base = emb.filter(F.col("node_id") % 4 != 0)
+    batch = emb.filter(F.col("node_id") % 4 == 0).localCheckpoint(eager=True)
+    mem = IvfIndex(base, nlist=16, seed=42, n_iters=8)
+    mem.append(batch)
+
+    disk = IvfIndex(base, nlist=16, seed=42, n_iters=8)
+    p = str(tmp_path / "ivf_ap")
+    disk.save(p)
+    loaded = IvfIndex.load(spark, p)
+    before = _file_snapshot(p + "/store.parquet")
+    stats = loaded.append_persisted(p, batch)
+    after = _file_snapshot(p + "/store.parquet")
+
+    assert stats["appended"] == batch.count()
+    affected = {
+        f"list_id={r['list_id']}"
+        for r in assign_lists(batch, loaded.centroids).select("list_id")
+        .distinct().collect()
+    }
+    assert stats["affected_lists"] == len(affected)
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, f"pre-existing file rewritten: {rel}"
+    for rel in set(after) - set(before):
+        assert rel.split("/")[0] in affected, f"new file outside affected: {rel}"
+
+    q = emb.limit(20).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    assert _key(loaded.search(q, k=5, nprobe=16)) == _key(mem.search(q, k=5, nprobe=16))
+    # pruning still works over appended rows (they live inside list dirs)
+    plan = loaded.search(q, k=5, nprobe=4)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("INSET" in l or " IN " in l for l in pf), pf
+
+
+def test_append_persisted_idempotent_and_replay(tmp_path, spark, emb):
+    """Post-commit retry no-ops on the meta ledger; a mid-crash retry
+    (files staged, meta commit lost) scrubs its own leftovers by name
+    and replays to the identical store."""
+    import json
+    import os
+
+    base = emb.filter(F.col("node_id") % 6 != 0)
+    batch = emb.filter(F.col("node_id") % 6 == 0).localCheckpoint(eager=True)
+    idx2 = IvfIndex(base, nlist=8, seed=3, n_iters=4)
+    p = str(tmp_path / "ivf_rp")
+    idx2.save(p)
+    loaded = IvfIndex.load(spark, p)
+    stats = loaded.append_persisted(p, batch)
+    want_snap = _file_snapshot(p + "/store.parquet")
+    n_want = spark.read.parquet(p + "/store.parquet").count()
+
+    # post-commit retry: ledger hit, nothing changes
+    again = IvfIndex.load(spark, p).append_persisted(p, batch)
+    assert again == {"already_applied": stats["append_id"]}
+    assert _file_snapshot(p + "/store.parquet") == want_snap
+
+    # mid-crash: files fully staged but the meta commit was lost
+    mp = os.path.join(p, "meta.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["appends"].remove(stats["append_id"])
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    replay = IvfIndex.load(spark, p).append_persisted(p, batch)
+    assert replay["append_id"] == stats["append_id"]
+    store = spark.read.parquet(p + "/store.parquet")
+    assert store.count() == n_want
+    assert store.select("node_id").distinct().count() == n_want
+
+
+def test_append_persisted_quantized_and_flag_mismatch(tmp_path, spark, emb):
+    base = emb.filter(F.col("node_id") % 4 != 0)
+    batch = emb.filter(F.col("node_id") % 4 == 0).localCheckpoint(eager=True)
+    qi = IvfIndex(base, nlist=16, seed=42, n_iters=8, quantized=True)
+    p = str(tmp_path / "ivf_q")
+    qi.save(p)
+    loaded = IvfIndex.load(spark, p)
+    with pytest.raises(ValueError, match="quantized flag"):
+        IvfIndex(base, nlist=16, seed=42, n_iters=8).append_persisted(p, batch)
+    loaded.append_persisted(p, batch)
+    assert "embedding" not in loaded.store.columns
+    q = batch.limit(6).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top1 = loaded.search(q, k=1, nprobe=8).filter(F.col("rank") == 1)
+    assert top1.filter(F.col("query_id") == F.col("node_id")).count() == 6
+
+
 def test_append_after_load_drops_stale_store(tmp_path, spark, emb):
     """append on a loaded index must not keep serving the (now stale)
     partitioned store; re-save persists the new rows."""
