@@ -66,7 +66,12 @@ def stage_partitioned_parquet_append(
     files; scrubs leftovers of a crashed earlier attempt of the same id
     first. Returns the number of partition dirs touched (bounded by
     ``df``'s distinct partition values, never the table's). The caller
-    commits its metadata AFTER this returns (commit-last)."""
+    commits its metadata AFTER this returns (commit-last). Heals any
+    crashed compaction swap of ``live_dir`` first (see
+    :func:`stage_parquet_append`)."""
+    from raptor_rag_spark.operators.maintenance import heal_compaction
+
+    heal_compaction(live_dir)
     scrub_partitioned_leftovers(live_dir, append_id, part_prefix)
     inflight = os.path.join(live_dir, f"_inflight_{append_id}")
     df.write.mode("overwrite").partitionBy(part_col).parquet(inflight)
@@ -101,7 +106,16 @@ def stage_parquet_append(
     write path, so cached file listings would keep serving the old
     files). The CALLER commits its metadata (manifest / meta.json)
     AFTER this returns — commit-last means a retry either no-ops on the
-    ledger or replays through here and lands the rows exactly once."""
+    ledger or replays through here and lands the rows exactly once.
+
+    Heals any crashed compaction swap of ``live_dir`` FIRST: appending
+    while the live dir is mid-swap (renamed away) would recreate it
+    with only this delta's files, leaving the full data stranded in the
+    swap siblings — the ambiguous state heal_compaction refuses to
+    touch."""
+    from raptor_rag_spark.operators.maintenance import heal_compaction
+
+    heal_compaction(live_dir)
     for leftover in glob.glob(
         os.path.join(live_dir, f"part-{part_prefix}-{append_id}-*")
     ):

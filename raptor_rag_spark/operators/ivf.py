@@ -51,6 +51,7 @@ from raptor_rag_spark.operators.knn import (
     _score_candidates,
     brute_force_knn,
     require_integral_id,
+    semi_filter_allowed,
     vec_matrix,
 )
 
@@ -182,8 +183,11 @@ class IvfIndex:
         self.n_iters = n_iters
         self.quantized = quantized
         self.recall: float | None = None
+        # append ids whose rows this index's view contains — persisted
+        # as save()'s ledger so retries of absorbed appends still no-op
+        self.applied_appends: list[str] = []
         # set by load(): the list_id-partitioned on-disk store whose
-        # scan DPP-prunes to the probed lists (see save())
+        # scan prunes to the probed lists (see save())
         self.store: DataFrame | None = None
         if _skip_build:
             return
@@ -301,13 +305,7 @@ class IvfIndex:
             probe = F.broadcast(pc) if scoring == "broadcast" else pc
             cands = probe.join(self.lists, "list_id").select("query_id", "node_id")
         if allowed is not None:
-            cands = cands.join(
-                allowed.withColumnRenamed(allowed.columns[0], "node_id").select(
-                    "node_id"
-                ),
-                "node_id",
-                "left_semi",
-            )
+            cands = semi_filter_allowed(cands, allowed)
         if self.store is None:
             cands = cands.join(self.nodes, "node_id")
         if self.quantized:
@@ -373,12 +371,24 @@ class IvfIndex:
         scrubs this id's half-landed files BY NAME (restoring the
         pre-append view before the duplicate check) and replays to the
         identical file set. The in-memory store/nodes/lists re-point at
-        the updated storage (lazy reads).
+        the updated storage (lazy reads) — on the already-applied path
+        too, so a post-commit retry leaves the index seeing the rows
+        that ARE on disk.
 
-        After many appended micro-batches the per-list file count grows;
-        ``operators/maintenance.compact_parquet_dir`` on a list dir (or
-        a re-save) is the compaction story, same as the level-0 store.
+        The target store's coarse quantizer must be THIS index's: the
+        params (dim/nlist/seed/...) and the persisted centroid matrix
+        are checked against self before any write — filing rows by a
+        different quantizer would land them in lists the store's own
+        probes never scan (silent recall loss, no error anywhere).
+
+        After many appended micro-batches the per-list file count
+        grows; ``operators/maintenance.compact_ivf_store`` is the
+        compaction story (NOT bare compact_parquet_dir on a list dir —
+        that would absorb uncommitted-append leftovers irrecoverably;
+        the wrapper scrubs against this ledger first).
         """
+        import numpy as np
+
         from raptor_rag_spark.functions.staging import (
             content_append_id,
             scrub_partitioned_leftovers,
@@ -392,6 +402,30 @@ class IvfIndex:
                 "append_persisted: index quantized flag does not match the "
                 "persisted store at this path"
             )
+        for key in ("dim", "nlist", "seed", "train_sample", "n_iters"):
+            if meta.get(key) != getattr(self, key):
+                raise ValueError(
+                    f"append_persisted: index {key}={getattr(self, key)!r} "
+                    f"!= persisted store's {key}={meta.get(key)!r} at {path}"
+                    " — this index's coarse quantizer is not the store's"
+                )
+        spark = new_nodes.sparkSession
+        stored_cent = np.asarray(
+            list(
+                spark.read.parquet(os.path.join(path, "centroids.parquet"))
+                .orderBy("list_id")
+                .toPandas()["centroid"]
+            ),
+            dtype=np.float64,
+        )
+        mine = np.asarray(self.centroids, dtype=np.float64)
+        if stored_cent.shape != mine.shape or not np.array_equal(stored_cent, mine):
+            raise ValueError(
+                "append_persisted: this index's centroid matrix differs "
+                f"from the persisted store's at {path} — rows would be "
+                "filed into lists the store's probes never scan. Load the "
+                "index from this path (IvfIndex.load) and append via it."
+            )
         new = new_nodes.select(
             F.col(self.id_col).alias("node_id")
             if self.id_col in new_nodes.columns
@@ -400,11 +434,13 @@ class IvfIndex:
         )
         require_integral_id(new, "node_id", "IvfIndex.append_persisted")
         new = new.localCheckpoint(eager=True)
-        spark = new.sparkSession
         append_id = content_append_id(new, ["node_id", "embedding"])
-        if append_id in meta.get("appends", []):
-            return {"already_applied": append_id}
         store_path = os.path.join(path, "store.parquet")
+        if append_id in meta.get("appends", []):
+            # the rows are on disk (commit-last) — re-point the views at
+            # storage so this index sees them, same as the applied path
+            self._repoint_storage(spark, store_path, meta.get("appends", []))
+            return {"already_applied": append_id}
         # roll back any half-landed files of THIS id before the dup
         # check — a mid-crash replay must compare against the
         # pre-append row set, not its own partial leftovers
@@ -431,15 +467,22 @@ class IvfIndex:
         meta.setdefault("appends", []).append(append_id)
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(meta, fh, indent=1)
-        fresh = spark.read.parquet(store_path)
-        self.store = fresh
-        self.nodes = fresh.select("node_id", *self._val_cols)
-        self.lists = fresh.select("node_id", "list_id")
+        self._repoint_storage(spark, store_path, meta["appends"])
         return {
             "append_id": append_id,
             "appended": new.count(),
             "affected_lists": touched,
         }
+
+    def _repoint_storage(self, spark, store_path: str, appends: list) -> None:
+        """Point store/nodes/lists at lazy reads of the (just-updated)
+        partitioned store and sync the applied-append ledger."""
+        spark.catalog.refreshByPath(store_path)
+        fresh = spark.read.parquet(store_path)
+        self.store = fresh
+        self.nodes = fresh.select("node_id", *self._val_cols)
+        self.lists = fresh.select("node_id", "list_id")
+        self.applied_appends = list(appends)
 
     def measure_recall(
         self,
@@ -470,16 +513,40 @@ class IvfIndex:
         PARTITIONS: ``store.parquet/list_id=<j>/`` holds list j's
         (node_id, embedding) rows — the Spark-native transliteration of
         FAISS's on-disk inverted-list layout. A loaded index's search
-        then reads ONLY the probed lists from disk: the probe⋈store
-        join is on the partition column with a broadcast probe side, so
-        Catalyst inserts a DynamicPruning subquery on the store scan
-        (plan-asserted in tests) and an nprobe/nlist probe scans
-        nprobe/nlist of the corpus bytes — the partition count is
+        then reads ONLY the probed lists from disk: search() collects
+        the probed list ids (bounded by nlist distinct ints, never by
+        query or corpus count) into a STATIC ``isin`` partition filter
+        on the store scan — plan-asserted in tests as an INSET in the
+        scan's PartitionFilters. (Catalyst's DynamicPruning rule cannot
+        fire here: it needs a selective filter predicate on the probe
+        side and a computed probe has none — see the comment in
+        search(); removing the collect+isin would silently lose ALL
+        partition pruning.) An nprobe/nlist probe thus scans
+        nprobe/nlist of the corpus bytes; the partition count is
         bounded by nlist (≤ thousands of dirs), never by corpus size.
+
+        Saving over a LIVE path — the re-save after append()s, which is
+        also a loaded index's small-file compaction story — is safe:
+        for a loaded index nodes/lists lazily READ the very
+        store.parquet being replaced (a direct overwrite is Spark's
+        cannot-overwrite-a-path-being-read-from error), so the store is
+        written to a swap sibling and renamed in under the
+        heal_compaction protocol; the views re-point at the new storage
+        afterwards. ``applied_appends`` persists as the meta ledger, so
+        an append retried after its rows were absorbed by a re-save
+        still no-ops.
 
         Centroids + params land as small sidecars; ``recall`` embeds
         the measured drift baseline."""
+        from raptor_rag_spark.operators.maintenance import (
+            _SWAP_NEW,
+            heal_compaction,
+            swap_live_dir,
+        )
+
         spark = self.nodes.sparkSession
+        store_path = os.path.join(path, "store.parquet")
+        heal_compaction(store_path)
         (
             self.nodes.join(self.lists, "node_id")
             .select("list_id", "node_id", *self._val_cols)
@@ -491,16 +558,18 @@ class IvfIndex:
             .repartition("list_id")
             .write.mode("overwrite")
             .partitionBy("list_id")
-            .parquet(os.path.join(path, "store.parquet"))
+            .parquet(store_path + _SWAP_NEW)
         )
+        swap_live_dir(store_path)
+        cent_path = os.path.join(path, "centroids.parquet")
+        heal_compaction(cent_path)
         cent_rows = [
             (int(i), [float(v) for v in row]) for i, row in enumerate(self.centroids)
         ]
         spark.createDataFrame(
             cent_rows, "list_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "centroids.parquet")
-        )
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path + _SWAP_NEW)
+        swap_live_dir(cent_path)
         meta = {
             "dim": self.dim,
             "nlist": self.nlist,
@@ -508,10 +577,15 @@ class IvfIndex:
             "train_sample": self.train_sample,
             "n_iters": self.n_iters,
             "quantized": self.quantized,
+            "id_col": self.id_col,
+            "appends": list(self.applied_appends),
             "recall": recall if recall is not None else self.recall,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
+        # a loaded/persisted-appended index's views read the replaced
+        # store — re-point them (and the path cache) at the new files
+        self._repoint_storage(spark, store_path, self.applied_appends)
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
@@ -532,6 +606,8 @@ class IvfIndex:
         idx.dim = meta["dim"]
         idx.recall = meta.get("recall")
         idx.quantized = meta.get("quantized", False)
+        idx.id_col = meta.get("id_col", "node_id")
+        idx.applied_appends = list(meta.get("appends", []))
         store = spark.read.parquet(os.path.join(path, "store.parquet"))
         idx.store = store
         idx.nodes = store.select("node_id", *idx._val_cols)

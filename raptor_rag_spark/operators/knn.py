@@ -138,6 +138,22 @@ def require_integral_id(df: DataFrame, col: str, where: str) -> None:
         )
 
 
+def semi_filter_allowed(
+    df: DataFrame, allowed: DataFrame, id_col: str = "node_id"
+) -> DataFrame:
+    """Restrict ``df`` to the ids in a one-column ``allowed`` allowlist
+    — the FILTERED-search metadata filter shared by brute_force_knn,
+    retrieve_collapsed, TileAnnIndex.search and IvfIndex.search. One
+    implementation so the semantics (left-semi: no columns contributed,
+    first column renamed so any one-column frame works) cannot drift
+    between call sites."""
+    return df.join(
+        allowed.withColumnRenamed(allowed.columns[0], id_col).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+
 def _resolve_strategy(strategy: str, queries: DataFrame) -> str:
     """'auto' -> 'broadcast' below BROADCAST_MAX_QUERIES else 'join'
     (one count() on the query side, which the caller's batch endpoint
@@ -276,11 +292,7 @@ def brute_force_knn(
     import pandas as pd
 
     if allowed is not None:
-        nodes = nodes.join(
-            allowed.withColumnRenamed(allowed.columns[0], node_id).select(node_id),
-            node_id,
-            "left_semi",
-        )
+        nodes = semi_filter_allowed(nodes, allowed, node_id)
     if _resolve_strategy(strategy, queries) == "join":
         return _brute_force_knn_join(
             queries, nodes, k, query_id, node_id, q_emb, n_emb

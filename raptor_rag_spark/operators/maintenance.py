@@ -90,6 +90,39 @@ def scrub_orphan_appends(
     return sorted(orphans)
 
 
+def scrub_orphan_appends_partitioned(
+    live_dir: str, part_prefix: str, committed_ids: set[str]
+) -> list[str]:
+    """Partitioned twin of :func:`scrub_orphan_appends`: roll back
+    uncommitted append part files living INSIDE hive partition subdirs
+    (the layout staging.stage_partitioned_parquet_append lands —
+    ``<live>/<col>=<v>/part-<prefix>-<id>-NNNNN``)."""
+    orphans: set[str] = set()
+    for path in glob.glob(os.path.join(live_dir, "*", f"part-{part_prefix}-*")):
+        rest = os.path.basename(path)[len(f"part-{part_prefix}-") :]
+        aid = rest.split("-", 1)[0]
+        if aid not in committed_ids:
+            orphans.add(aid)
+            os.remove(path)
+    for stale in glob.glob(os.path.join(live_dir, "_inflight_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    return sorted(orphans)
+
+
+def swap_live_dir(live_dir: str) -> None:
+    """Swap ``<live>.compacting`` in as the live dir — two renames; a
+    crash anywhere in between is one of heal_compaction's windows. The
+    rewritten dir MUST already be at ``live_dir + _SWAP_NEW``."""
+    new_d = live_dir + _SWAP_NEW
+    if os.path.exists(live_dir):
+        old_d = live_dir + _SWAP_OLD
+        os.replace(live_dir, old_d)
+        os.replace(new_d, live_dir)
+        shutil.rmtree(old_d, ignore_errors=True)
+    else:
+        os.replace(new_d, live_dir)
+
+
 def heal_compaction(live_dir: str) -> str | None:
     """Complete or roll back a compaction swap that crashed mid-way.
     Returns the action taken (None if nothing to do). Safe to call any
@@ -99,12 +132,20 @@ def heal_compaction(live_dir: str) -> str | None:
       write <live>.compacting  ->  rename live -> <live>.compact-old
       ->  rename .compacting -> live  ->  delete .compact-old
     Crash windows:
-      - live present, .compacting present: rewrite finished but swap
-        never started — discard .compacting (retry rewrites it).
+      - live present, .compacting present, NO .compact-old: rewrite
+        finished but swap never started — discard .compacting (the
+        retry rewrites it).
       - live MISSING, .compacting present: between the two renames —
         complete the swap (the rewrite was verified before renaming).
-      - live present, .compact-old present: swap done, cleanup crashed
-        — delete .compact-old.
+      - live present, .compact-old present, NO .compacting: swap done,
+        cleanup crashed — delete .compact-old.
+      - live present AND .compact-old AND .compacting: NOT a protocol
+        state (the protocol never has all three at once) — it means the
+        live dir was recreated EXTERNALLY during the mid-swap window
+        (e.g. an append landed a fresh delta-only dir). Deleting either
+        sibling here would destroy the only full copy of the data, so
+        this raises; append paths call this healer on entry precisely
+        so the window can't be entered by supported writers.
     """
     old_d, new_d = live_dir + _SWAP_OLD, live_dir + _SWAP_NEW
     if not os.path.exists(live_dir):
@@ -116,6 +157,17 @@ def heal_compaction(live_dir: str) -> str | None:
             os.replace(old_d, live_dir)
             return "rolled-back"
         return None
+    if os.path.exists(old_d) and os.path.exists(new_d):
+        raise RuntimeError(
+            f"{live_dir}: live dir coexists with BOTH {_SWAP_OLD} and "
+            f"{_SWAP_NEW} siblings — the live dir was recreated outside "
+            "the swap protocol while a compaction was mid-swap. Refusing "
+            f"to delete either sibling: {old_d} holds the pre-compaction "
+            f"data and the live dir may hold only a post-crash delta. "
+            "Recover manually (typically: move the live dir's id-named "
+            f"append files into {old_d}, replace live with it, then "
+            f"remove {new_d})."
+        )
     took = None
     if os.path.exists(old_d):
         shutil.rmtree(old_d)
@@ -182,10 +234,7 @@ def compact_parquet_dir(
     # strip Spark's _SUCCESS marker so the swapped-in dir lists clean
     for marker in glob.glob(os.path.join(new_d, "_*")):
         os.remove(marker)
-    old_d = live_dir + _SWAP_OLD
-    os.replace(live_dir, old_d)
-    os.replace(new_d, live_dir)  # heal_compaction covers a crash between
-    shutil.rmtree(old_d, ignore_errors=True)
+    swap_live_dir(live_dir)  # heal_compaction covers a crash inside
     spark.catalog.refreshByPath(live_dir)
     files_after, _ = _dir_stats(live_dir)
     report.update(
@@ -281,4 +330,79 @@ def compact_ann_nodes(
         )
         with open(meta_path, "w") as fh:
             json.dump(meta, fh, indent=1)
+    return report
+
+
+def compact_ivf_store(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """Compact a persisted IvfIndex's ``list_id=``-partitioned store —
+    the ONLY safe compaction path for it. Running bare
+    ``compact_parquet_dir`` on an individual list dir would absorb the
+    part files of an append that crashed before its meta.json commit
+    into anonymous compacted files; the append's retry could then no
+    longer find-and-scrub them by name and would land the rows twice.
+    This wrapper scrubs uncommitted appends against meta.json's ledger
+    first (the same discipline as compact_level / compact_ann_nodes),
+    then rewrites the WHOLE store in one partitioned pass — one file
+    per inverted list (a list is read whole at probe time, so intra-
+    list splits buy nothing) sorted by node_id — and swaps it in
+    atomically under the heal_compaction protocol. The appends ledger
+    is preserved: a retried append whose rows were absorbed still
+    no-ops against it."""
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    store = os.path.join(path, "store.parquet")
+    heal_compaction(store)
+    scrubbed = scrub_orphan_appends_partitioned(
+        store, "append", set(meta.get("appends", []))
+    )
+    if scrubbed:
+        spark.catalog.refreshByPath(store)
+    t0 = time.time()
+    files_before, bytes_before = _dir_stats(store)
+    n_lists = len(glob.glob(os.path.join(store, "list_id=*")))
+    df = spark.read.parquet(store)
+    rows = df.count()
+    report = {
+        "files_before": files_before,
+        "bytes": int(bytes_before),
+        "rows": int(rows),
+        "scrubbed_orphan_appends": scrubbed,
+        "wall_sec": 0.0,
+    }
+    if files_before <= n_lists:  # already <=1 file per inverted list
+        report.update(files_after=files_before, compacted=False)
+        return report
+    new_d = store + _SWAP_NEW
+    (
+        df.repartition("list_id")
+        .sortWithinPartitions("node_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(new_d)
+    )
+    rewritten = spark.read.parquet(new_d).count()
+    if rewritten != rows:
+        shutil.rmtree(new_d, ignore_errors=True)
+        raise RuntimeError(
+            f"IVF store compaction of {store} produced {rewritten} rows, "
+            f"expected {rows} — aborted before swap, live store untouched"
+        )
+    for marker in glob.glob(os.path.join(new_d, "_*")):
+        os.remove(marker)
+    swap_live_dir(store)
+    spark.catalog.refreshByPath(store)
+    files_after, _ = _dir_stats(store)
+    report.update(
+        files_after=files_after, compacted=True, wall_sec=round(time.time() - t0, 3)
+    )
+    meta.setdefault("compactions", []).append(
+        {k: report[k] for k in ("files_before", "files_after", "rows", "wall_sec")}
+    )
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
     return report

@@ -66,13 +66,9 @@ def retrieve_collapsed(
     k = k or cfg.top_k
     max_tokens = max_tokens or cfg.retrieve_max_tokens
     if allowed is not None:
-        nodes = nodes.join(
-            allowed.withColumnRenamed(allowed.columns[0], "node_id").select(
-                "node_id"
-            ),
-            "node_id",
-            "left_semi",
-        )
+        from raptor_rag_spark.operators.knn import semi_filter_allowed
+
+        nodes = semi_filter_allowed(nodes, allowed)
     if method == "brute":
         ranked = brute_force_knn(queries, nodes, k=k, strategy=scoring)
     else:

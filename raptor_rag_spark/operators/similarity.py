@@ -135,35 +135,60 @@ class TileAnnIndex:
         recompute unit of incremental maintenance, so
         :meth:`append_persisted` can replace ONLY affected partition
         directories (dynamic partition overwrite), exactly like the
-        tree's prefix-partitioned level checkpoints."""
+        tree's prefix-partitioned level checkpoints.
+
+        Safe over a LIVE path (re-save after in-memory append()s): a
+        loaded index's nodes/xy/atiles lazily READ the very dirs being
+        replaced, so every table is written to a swap sibling first and
+        renamed in afterwards (heal_compaction protocol) — ALL writes
+        complete before ANY swap, since the atiles write's plan reads
+        the old xy files."""
         import json
         import os
 
+        from raptor_rag_spark.operators.maintenance import (
+            _SWAP_NEW,
+            heal_compaction,
+            swap_live_dir,
+        )
+
+        spark = self.nodes.sparkSession
         os.makedirs(path, exist_ok=True)
-        self.nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes.parquet"))
+        swaps = []  # live dirs whose .compacting sibling is fully written
+
+        def _write(df, live, part_col=None):
+            heal_compaction(live)
+            w = df.write.mode("overwrite")
+            if part_col:
+                w = w.partitionBy(part_col)
+            w.parquet(live + _SWAP_NEW)
+            swaps.append(live)
+
+        _write(self.nodes, os.path.join(path, "nodes.parquet"))
         seeds, keys = [], {}
         for seed, xy, atiles, pop in self.views:
             vd = os.path.join(path, f"view-{seed}")
             if partition_by_base:
                 bk_map = xy.select("node_id", self._bk_col())
-                (
-                    xy.withColumn("_bk", self._bk_col())
-                    .write.mode("overwrite")
-                    .partitionBy("_bk")
-                    .parquet(os.path.join(vd, "xy.parquet"))
+                _write(
+                    xy.withColumn("_bk", self._bk_col()),
+                    os.path.join(vd, "xy.parquet"),
+                    part_col="_bk",
                 )
-                (
-                    atiles.join(bk_map, "node_id")
-                    .write.mode("overwrite")
-                    .partitionBy("_bk")
-                    .parquet(os.path.join(vd, "atiles.parquet"))
+                _write(
+                    atiles.join(bk_map, "node_id"),
+                    os.path.join(vd, "atiles.parquet"),
+                    part_col="_bk",
                 )
             else:
-                xy.write.mode("overwrite").parquet(os.path.join(vd, "xy.parquet"))
-                atiles.write.mode("overwrite").parquet(os.path.join(vd, "atiles.parquet"))
+                _write(xy, os.path.join(vd, "xy.parquet"))
+                _write(atiles, os.path.join(vd, "atiles.parquet"))
             seeds.append(seed)
             if isinstance(pop, set):
                 keys[str(seed)] = sorted(pop)
+        for live in swaps:
+            swap_live_dir(live)
+            spark.catalog.refreshByPath(live)
         meta = {
             "partitioned_by_base": partition_by_base,
             "dim": self.dim,
@@ -504,13 +529,9 @@ class TileAnnIndex:
             cands = c if cands is None else cands.unionByName(c)
         cands = cands.dropDuplicates(["query_id", "node_id"])
         if allowed is not None:
-            cands = cands.join(
-                allowed.withColumnRenamed(allowed.columns[0], "node_id").select(
-                    "node_id"
-                ),
-                "node_id",
-                "left_semi",
-            )
+            from raptor_rag_spark.operators.knn import semi_filter_allowed
+
+            cands = semi_filter_allowed(cands, allowed)
         if self.quantized:
             from raptor_rag_spark.operators.knn import _score_candidates_quantized
 

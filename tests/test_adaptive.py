@@ -528,3 +528,32 @@ def test_ann_index_append_persisted_retry_exact_once(spark, points, tmp_path):
     )
     assert replay["append_id"] == aid
     assert _snapshot() == applied
+
+
+def test_ann_index_resave_over_live_path(spark, points, tmp_path):
+    """save() over the index's own path works for a LOADED TileAnnIndex
+    (its nodes/xy/atiles lazily read the dirs being replaced — a direct
+    overwrite is Spark's cannot-overwrite-a-path-being-read-from error),
+    including persisting rows absorbed by an in-memory append()."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    kw = dict(dim=DIM, seeds=(224,), base_resolution=2, max_occupancy=64,
+              max_resolution=7)
+    initial = points.filter(F.col("node_id") % 7 != 0)
+    batch = points.filter(F.col("node_id") % 7 == 0).localCheckpoint(eager=True)
+    p = str(tmp_path / "ann_resave")
+    TileAnnIndex(initial, **kw).save(p)
+    loaded = TileAnnIndex.load(spark, p)
+    loaded.save(p)  # plain re-save of a loaded index
+    loaded = TileAnnIndex.load(spark, p)
+    loaded.append(batch)
+    loaded.save(p)  # re-save after in-memory append persists the batch
+    again = TileAnnIndex.load(spark, p)
+    assert again.nodes.count() == points.count()
+    q = batch.limit(5).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top1 = again.search(q, k=1).collect()
+    assert all(r["query_id"] == r["node_id"] for r in top1)

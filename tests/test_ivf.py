@@ -369,3 +369,141 @@ def test_append_after_load_drops_stale_store(tmp_path, spark, emb):
     re = IvfIndex.load(spark, str(tmp_path / "ivf3"))
     assert re.nodes.count() == emb.count()
     assert _key(re.search(q, k=1, nprobe=8)) == _key(top1)
+
+
+def test_resave_over_live_path_after_load(tmp_path, spark, emb, queries, idx):
+    """save() over the index's own live path works for a LOADED index
+    (nodes/lists lazily read the store being replaced — a direct
+    overwrite is Spark's cannot-overwrite-a-path-being-read-from error;
+    the swap-sibling protocol avoids it), including after an in-memory
+    append: the re-save persists the appended rows."""
+    base = emb.filter(F.col("node_id") % 5 != 0)
+    batch = emb.filter(F.col("node_id") % 5 == 0).localCheckpoint(eager=True)
+    p = str(tmp_path / "ivf_resave")
+    IvfIndex(base, nlist=16, seed=42, n_iters=8).save(p)
+    loaded = IvfIndex.load(spark, p)
+    loaded.save(p)  # plain re-save of a loaded index: the flagged crash
+    baseline = _key(IvfIndex.load(spark, p).search(queries, k=5, nprobe=16))
+
+    loaded.append(batch)
+    loaded.save(p)  # re-save AFTER in-memory append = the compaction story
+    again = IvfIndex.load(spark, p)
+    assert again.nodes.count() == emb.count()
+    got = _key(again.search(queries, k=5, nprobe=16))
+    assert got == _key(loaded.search(queries, k=5, nprobe=16))
+    assert got != baseline or batch.count() == 0
+
+
+def test_resave_preserves_append_ledger(tmp_path, spark, emb):
+    """An append whose rows were absorbed by a re-save must still no-op
+    when retried: applied_appends persists through save()."""
+    base = emb.filter(F.col("node_id") % 4 != 0)
+    batch = emb.filter(F.col("node_id") % 4 == 0).localCheckpoint(eager=True)
+    p = str(tmp_path / "ivf_ledger")
+    IvfIndex(base, nlist=16, seed=42, n_iters=8).save(p)
+    loaded = IvfIndex.load(spark, p)
+    first = loaded.append_persisted(p, batch)
+    assert "append_id" in first
+    loaded.save(p)  # absorbs the appended part files into a fresh store
+    retried = IvfIndex.load(spark, p).append_persisted(p, batch)
+    assert retried == {"already_applied": first["append_id"]}
+    assert IvfIndex.load(spark, p).nodes.count() == emb.count()
+
+
+def test_append_persisted_rejects_foreign_quantizer(tmp_path, spark, emb):
+    """Filing rows by a coarse quantizer that is not the persisted
+    store's would land them in lists the store's probes never scan
+    (silent recall loss) — params and the centroid matrix itself are
+    validated before any write."""
+    p = str(tmp_path / "ivf_foreign")
+    IvfIndex(emb, nlist=16, seed=42, n_iters=8).save(p)
+    other_params = IvfIndex(emb, nlist=8, seed=42, n_iters=8)
+    batch = emb.limit(4).withColumn("node_id", F.col("node_id") + 10_000_000)
+    with pytest.raises(ValueError, match="nlist"):
+        other_params.append_persisted(p, batch)
+    # same params, different training data -> different centroids
+    other_data = IvfIndex(
+        emb.filter(F.col("node_id") % 2 == 0), nlist=16, seed=42, n_iters=8
+    )
+    with pytest.raises(ValueError, match="centroid matrix differs"):
+        other_data.append_persisted(p, batch)
+
+
+def test_already_applied_retry_repoints_views(tmp_path, spark, emb):
+    """A post-commit retry returns already_applied AND re-points the
+    caller's views at storage — the retrying index must see the rows
+    that ARE on disk, not its stale pre-append view."""
+    base = emb.filter(F.col("node_id") % 4 != 0)
+    batch = emb.filter(F.col("node_id") % 4 == 0).localCheckpoint(eager=True)
+    p = str(tmp_path / "ivf_retry_repoint")
+    applier = IvfIndex(base, nlist=16, seed=42, n_iters=8)
+    applier.save(p)
+    first = applier.append_persisted(p, batch)
+    # an identical index (same deterministic build) that never saw the
+    # append retries it: must no-op AND absorb the on-disk rows
+    retrier = IvfIndex(base, nlist=16, seed=42, n_iters=8)
+    assert retrier.nodes.count() == base.count()
+    out = retrier.append_persisted(p, batch)
+    assert out == {"already_applied": first["append_id"]}
+    assert retrier.nodes.count() == emb.count()
+    assert retrier.applied_appends == [first["append_id"]]
+    bq = batch.limit(3).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    top1 = retrier.search(bq, k=1, nprobe=16).collect()
+    assert all(r["query_id"] == r["node_id"] for r in top1)
+
+
+def test_id_col_roundtrip(tmp_path, spark, emb):
+    """save() persists id_col and load() restores it — append() on a
+    loaded index keeps accepting frames keyed by the original column."""
+    vecs = emb.withColumnRenamed("node_id", "vec_id")
+    p = str(tmp_path / "ivf_idcol")
+    IvfIndex(vecs, id_col="vec_id", nlist=16, seed=42, n_iters=8).save(p)
+    loaded = IvfIndex.load(spark, p)
+    assert loaded.id_col == "vec_id"
+    batch = vecs.limit(3).withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    loaded.append(batch)  # would raise unresolved-column before the fix
+    assert loaded.nodes.count() == emb.count() + 3
+
+
+def test_compact_ivf_store(tmp_path, spark, emb):
+    """The safe IVF compaction path: scrubs uncommitted appends by the
+    meta ledger first, rewrites one file per inverted list, preserves
+    the ledger (retried absorbed appends no-op), search-identical."""
+    import glob
+    import os
+    import shutil
+
+    from raptor_rag_spark.operators.maintenance import compact_ivf_store
+
+    base = emb.filter(F.col("node_id") % 4 == 1)
+    p = str(tmp_path / "ivf_compact")
+    idx = IvfIndex(base, nlist=8, seed=42, n_iters=8)
+    idx.save(p)
+    applied = []
+    for m in (2, 3):
+        batch = emb.filter(F.col("node_id") % 4 == m).localCheckpoint(eager=True)
+        applied.append(idx.append_persisted(p, batch))
+    q = emb.limit(12).select(
+        F.col("node_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    before = _key(IvfIndex.load(spark, p).search(q, k=5, nprobe=8))
+
+    # plant an UNCOMMITTED append leftover (crashed before meta commit);
+    # its duplicate rows must be scrubbed, not absorbed, by compaction
+    some_list = sorted(glob.glob(os.path.join(p, "store.parquet", "list_id=*")))[0]
+    donor = glob.glob(os.path.join(some_list, "*.parquet"))[0]
+    shutil.copy(donor, os.path.join(some_list, "part-append-n9h9-00000.parquet"))
+    spark.catalog.refreshByPath(os.path.join(p, "store.parquet"))
+    report = compact_ivf_store(spark, p)
+    assert report["scrubbed_orphan_appends"] == ["n9h9"]
+    assert report["compacted"] and report["files_after"] < report["files_before"]
+    loaded = IvfIndex.load(spark, p)
+    assert _key(loaded.search(q, k=5, nprobe=8)) == before
+    n_lists = len(glob.glob(os.path.join(p, "store.parquet", "list_id=*")))
+    assert report["files_after"] == n_lists  # one file per inverted list
+    # ledger preserved: retrying an absorbed append still no-ops
+    batch2 = emb.filter(F.col("node_id") % 4 == 2)
+    out = loaded.append_persisted(p, batch2)
+    assert out == {"already_applied": applied[0]["append_id"]}

@@ -228,3 +228,50 @@ def test_compact_ann_nodes_search_identical(spark, tmp_path):
     after_idx = TileAnnIndex.load(spark, p)
     assert key(after_idx.search(q, k=5, ring=2)) == before
     assert after_idx.nodes.count() == 900
+
+
+def test_heal_refuses_ambiguous_triple_state(tmp_path):
+    """live + .compact-old + .compacting all present is NOT a protocol
+    state — it means the live dir was recreated externally during the
+    mid-swap window (e.g. an append landed a delta-only dir). Deleting
+    either sibling would destroy the only full data copy; heal must
+    raise and leave all three untouched."""
+    live = str(tmp_path / "store")
+    for d, marker in ((live, "delta"), (live + ".compact-old", "full"),
+                      (live + ".compacting", "rewrite")):
+        os.makedirs(d)
+        open(os.path.join(d, f"part-{marker}.parquet"), "w").write(marker)
+    with pytest.raises(RuntimeError, match="recreated outside the swap"):
+        heal_compaction(live)
+    for d in (live, live + ".compact-old", live + ".compacting"):
+        assert os.path.exists(d), d
+
+
+def test_stage_append_heals_mid_swap_first(spark, tmp_path):
+    """The data-loss interleaving: a compaction crashes between its two
+    renames (live missing; .compact-old = original, .compacting =
+    verified rewrite), then a streaming append runs. stage_parquet_append
+    must complete the swap FIRST — otherwise it recreates the live dir
+    with only the delta, stranding the full data in the siblings (the
+    ambiguous state heal refuses to touch)."""
+    import shutil
+
+    from raptor_rag_spark.functions.staging import stage_parquet_append
+
+    live = str(tmp_path / "leaves")
+    orig = spark.range(100).withColumn("v", F.col("id") * 2)
+    orig.write.parquet(live)
+    # simulate the mid-swap crash window
+    orig.repartition(1).write.parquet(live + ".compacting")
+    for m in glob.glob(os.path.join(live + ".compacting", "_*")):
+        os.remove(m)
+    os.replace(live, live + ".compact-old")
+
+    delta = spark.range(100, 110).withColumn("v", F.col("id") * 2)
+    stage_parquet_append(delta, live, "batchx", "inflight")
+
+    assert not os.path.exists(live + ".compact-old")
+    assert not os.path.exists(live + ".compacting")
+    got = spark.read.parquet(live)
+    assert got.count() == 110  # full original data + the delta
+    assert got.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(110))
