@@ -56,6 +56,28 @@ from raptor_rag_spark.operators.knn import (
 )
 
 
+_FOREIGN_QUANTIZER_MSG = (
+    "append_persisted: this index's centroid matrix differs from the "
+    "persisted store's at {path} — rows would be filed into lists the "
+    "store's probes never scan. Load the index from this path "
+    "(IvfIndex.load) and append via it."
+)
+
+
+def _centroid_hash(cent) -> str:
+    """Content hash of a float64 centroid matrix — persisted in
+    meta.json so append_persisted can validate the coarse quantizer
+    without a sidecar read per micro-batch."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.ascontiguousarray(np.asarray(cent, dtype=np.float64))
+    return hashlib.md5(
+        str(m.shape).encode() + m.tobytes()
+    ).hexdigest()
+
+
 def train_centroids(
     nodes: DataFrame,
     nlist: int,
@@ -394,9 +416,19 @@ class IvfIndex:
             scrub_partitioned_leftovers,
             stage_partitioned_parquet_append,
         )
+        from raptor_rag_spark.operators.maintenance import (
+            recover_save,
+            write_meta_atomic,
+        )
 
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
+        spark = new_nodes.sparkSession
+        store_path = os.path.join(path, "store.parquet")
+        cent_path = os.path.join(path, "centroids.parquet")
+        # BEFORE any read: recover a save() that crashed mid-commit —
+        # the store/centroid dirs may be renamed away or ahead of meta
+        recover_save([store_path, cent_path], meta.get("save_token"))
         if bool(meta.get("quantized", False)) != self.quantized:
             raise ValueError(
                 "append_persisted: index quantized flag does not match the "
@@ -409,23 +441,6 @@ class IvfIndex:
                     f"!= persisted store's {key}={meta.get(key)!r} at {path}"
                     " — this index's coarse quantizer is not the store's"
                 )
-        spark = new_nodes.sparkSession
-        stored_cent = np.asarray(
-            list(
-                spark.read.parquet(os.path.join(path, "centroids.parquet"))
-                .orderBy("list_id")
-                .toPandas()["centroid"]
-            ),
-            dtype=np.float64,
-        )
-        mine = np.asarray(self.centroids, dtype=np.float64)
-        if stored_cent.shape != mine.shape or not np.array_equal(stored_cent, mine):
-            raise ValueError(
-                "append_persisted: this index's centroid matrix differs "
-                f"from the persisted store's at {path} — rows would be "
-                "filed into lists the store's probes never scan. Load the "
-                "index from this path (IvfIndex.load) and append via it."
-            )
         new = new_nodes.select(
             F.col(self.id_col).alias("node_id")
             if self.id_col in new_nodes.columns
@@ -435,12 +450,30 @@ class IvfIndex:
         require_integral_id(new, "node_id", "IvfIndex.append_persisted")
         new = new.localCheckpoint(eager=True)
         append_id = content_append_id(new, ["node_id", "embedding"])
-        store_path = os.path.join(path, "store.parquet")
         if append_id in meta.get("appends", []):
             # the rows are on disk (commit-last) — re-point the views at
-            # storage so this index sees them, same as the applied path
+            # storage so this index sees them, same as the applied path.
+            # Checked BEFORE the centroid validation so retry no-ops
+            # stay cheap (no sidecar read).
             self._repoint_storage(spark, store_path, meta.get("appends", []))
             return {"already_applied": append_id}
+        mine = np.asarray(self.centroids, dtype=np.float64)
+        if meta.get("centroid_hash"):
+            if _centroid_hash(mine) != meta["centroid_hash"]:
+                raise ValueError(_FOREIGN_QUANTIZER_MSG.format(path=path))
+        else:  # pre-hash save layout: compare the sidecar itself
+            stored_cent = np.asarray(
+                list(
+                    spark.read.parquet(cent_path)
+                    .orderBy("list_id")
+                    .toPandas()["centroid"]
+                ),
+                dtype=np.float64,
+            )
+            if stored_cent.shape != mine.shape or not np.array_equal(
+                stored_cent, mine
+            ):
+                raise ValueError(_FOREIGN_QUANTIZER_MSG.format(path=path))
         # roll back any half-landed files of THIS id before the dup
         # check — a mid-crash replay must compare against the
         # pre-append row set, not its own partial leftovers
@@ -465,8 +498,7 @@ class IvfIndex:
             rows, store_path, append_id, "list_id", "append"
         )
         meta.setdefault("appends", []).append(append_id)
-        with open(os.path.join(path, "meta.json"), "w") as fh:
-            json.dump(meta, fh, indent=1)
+        write_meta_atomic(os.path.join(path, "meta.json"), meta)
         self._repoint_storage(spark, store_path, meta["appends"])
         return {
             "append_id": append_id,
@@ -526,27 +558,44 @@ class IvfIndex:
         bounded by nlist (≤ thousands of dirs), never by corpus size.
 
         Saving over a LIVE path — the re-save after append()s, which is
-        also a loaded index's small-file compaction story — is safe:
-        for a loaded index nodes/lists lazily READ the very
-        store.parquet being replaced (a direct overwrite is Spark's
-        cannot-overwrite-a-path-being-read-from error), so the store is
-        written to a swap sibling and renamed in under the
-        heal_compaction protocol; the views re-point at the new storage
-        afterwards. ``applied_appends`` persists as the meta ledger, so
-        an append retried after its rows were absorbed by a re-save
-        still no-ops.
+        also a loaded index's small-file compaction story — is safe and
+        crash-atomic ACROSS both tables: for a loaded index nodes/lists
+        lazily READ the very store.parquet being replaced (a direct
+        overwrite is Spark's cannot-overwrite-a-path-being-read-from
+        error), and a half-replaced store+centroids pair would be a
+        mismatched quantizer. So the save uses the multi-dir token
+        protocol (operators/maintenance.py recover_save): both tables
+        write to swap siblings stamped with ONE save token, swap in
+        keeping the old dirs as rollback material, commit meta
+        (carrying the token) LAST, then clean up — load/append recover
+        any crash window back to the committed save. The views re-point
+        at the new storage afterwards. ``applied_appends`` persists as
+        the meta ledger, so an append retried after its rows were
+        absorbed by a re-save still no-ops; foreign meta keys (e.g.
+        compact_ivf_store's ``compactions`` history) are preserved.
 
         Centroids + params land as small sidecars; ``recall`` embeds
         the measured drift baseline."""
+        import uuid
+
         from raptor_rag_spark.operators.maintenance import (
             _SWAP_NEW,
-            heal_compaction,
+            recover_save,
             swap_live_dir,
+            write_meta_atomic,
+            write_save_token,
         )
 
         spark = self.nodes.sparkSession
         store_path = os.path.join(path, "store.parquet")
-        heal_compaction(store_path)
+        cent_path = os.path.join(path, "centroids.parquet")
+        meta_path = os.path.join(path, "meta.json")
+        meta: dict = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        recover_save([store_path, cent_path], meta.get("save_token"))
+        token = uuid.uuid4().hex
         (
             self.nodes.join(self.lists, "node_id")
             .select("list_id", "node_id", *self._val_cols)
@@ -560,29 +609,35 @@ class IvfIndex:
             .partitionBy("list_id")
             .parquet(store_path + _SWAP_NEW)
         )
-        swap_live_dir(store_path)
-        cent_path = os.path.join(path, "centroids.parquet")
-        heal_compaction(cent_path)
+        write_save_token(store_path + _SWAP_NEW, token)
         cent_rows = [
             (int(i), [float(v) for v in row]) for i, row in enumerate(self.centroids)
         ]
         spark.createDataFrame(
             cent_rows, "list_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(cent_path + _SWAP_NEW)
-        swap_live_dir(cent_path)
-        meta = {
-            "dim": self.dim,
-            "nlist": self.nlist,
-            "seed": self.seed,
-            "train_sample": self.train_sample,
-            "n_iters": self.n_iters,
-            "quantized": self.quantized,
-            "id_col": self.id_col,
-            "appends": list(self.applied_appends),
-            "recall": recall if recall is not None else self.recall,
-        }
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        write_save_token(cent_path + _SWAP_NEW, token)
+        # every table fully written: swap all (keeping rollback
+        # material), commit meta last, then clean up
+        swap_live_dir(store_path, keep_old=True)
+        swap_live_dir(cent_path, keep_old=True)
+        meta.update(
+            {
+                "dim": self.dim,
+                "nlist": self.nlist,
+                "seed": self.seed,
+                "train_sample": self.train_sample,
+                "n_iters": self.n_iters,
+                "quantized": self.quantized,
+                "id_col": self.id_col,
+                "appends": list(self.applied_appends),
+                "centroid_hash": _centroid_hash(self.centroids),
+                "save_token": token,
+                "recall": recall if recall is not None else self.recall,
+            }
+        )
+        write_meta_atomic(meta_path, meta)
+        recover_save([store_path, cent_path], token)  # step-4 cleanup
         # a loaded/persisted-appended index's views read the replaced
         # store — re-point them (and the path cache) at the new files
         self._repoint_storage(spark, store_path, self.applied_appends)
@@ -608,6 +663,15 @@ class IvfIndex:
         idx.quantized = meta.get("quantized", False)
         idx.id_col = meta.get("id_col", "node_id")
         idx.applied_appends = list(meta.get("appends", []))
+        # BEFORE any read: a save()/compact that crashed mid-commit may
+        # have left the dirs renamed away or ahead of the committed meta
+        from raptor_rag_spark.operators.maintenance import recover_save
+
+        recover_save(
+            [os.path.join(path, "store.parquet"),
+             os.path.join(path, "centroids.parquet")],
+            meta.get("save_token"),
+        )
         store = spark.read.parquet(os.path.join(path, "store.parquet"))
         idx.store = store
         idx.nodes = store.select("node_id", *idx._val_cols)

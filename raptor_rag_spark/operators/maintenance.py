@@ -68,18 +68,26 @@ def _dir_stats(live_dir: str) -> tuple[int, int]:
 
 
 def scrub_orphan_appends(
-    live_dir: str, part_prefix: str, committed_ids: set[str]
+    live_dir: str, part_prefix: str, committed_ids: set[str], nested: bool = False
 ) -> list[str]:
     """Remove part files of appends that never committed their metadata
     (names ``part-<prefix>-<id>-NNNNN``, id absent from the ledger) and
     any ``_inflight_*`` staging leftovers. Returns the scrubbed ids.
+    ``nested=True`` scrubs the partitioned layout, where append files
+    live INSIDE hive partition subdirs (``<live>/<col>=<v>/part-...``,
+    the layout staging.stage_partitioned_parquet_append lands).
 
     This is the rollback half of the staging protocol in
     functions/staging.py: an uncommitted append's retry re-stages the
     whole delta, so its half-landed files must stay scrubbable BY NAME
     — compaction would otherwise absorb them irrecoverably."""
+    pattern = (
+        os.path.join(live_dir, "*", f"part-{part_prefix}-*")
+        if nested
+        else os.path.join(live_dir, f"part-{part_prefix}-*")
+    )
     orphans: set[str] = set()
-    for path in glob.glob(os.path.join(live_dir, f"part-{part_prefix}-*")):
+    for path in glob.glob(pattern):
         rest = os.path.basename(path)[len(f"part-{part_prefix}-") :]
         aid = rest.split("-", 1)[0]
         if aid not in committed_ids:
@@ -93,34 +101,140 @@ def scrub_orphan_appends(
 def scrub_orphan_appends_partitioned(
     live_dir: str, part_prefix: str, committed_ids: set[str]
 ) -> list[str]:
-    """Partitioned twin of :func:`scrub_orphan_appends`: roll back
-    uncommitted append part files living INSIDE hive partition subdirs
-    (the layout staging.stage_partitioned_parquet_append lands —
-    ``<live>/<col>=<v>/part-<prefix>-<id>-NNNNN``)."""
-    orphans: set[str] = set()
-    for path in glob.glob(os.path.join(live_dir, "*", f"part-{part_prefix}-*")):
-        rest = os.path.basename(path)[len(f"part-{part_prefix}-") :]
-        aid = rest.split("-", 1)[0]
-        if aid not in committed_ids:
-            orphans.add(aid)
-            os.remove(path)
-    for stale in glob.glob(os.path.join(live_dir, "_inflight_*")):
-        shutil.rmtree(stale, ignore_errors=True)
-    return sorted(orphans)
+    """Partitioned-layout alias of :func:`scrub_orphan_appends`."""
+    return scrub_orphan_appends(live_dir, part_prefix, committed_ids, nested=True)
 
 
-def swap_live_dir(live_dir: str) -> None:
+def swap_live_dir(live_dir: str, keep_old: bool = False) -> None:
     """Swap ``<live>.compacting`` in as the live dir — two renames; a
-    crash anywhere in between is one of heal_compaction's windows. The
-    rewritten dir MUST already be at ``live_dir + _SWAP_NEW``."""
+    crash anywhere in between is one of heal_compaction's /
+    recover_save's windows. The rewritten dir MUST already be at
+    ``live_dir + _SWAP_NEW``. ``keep_old=True`` retains the replaced
+    dir as the ``.compact-old`` sibling — the rollback material of the
+    multi-dir token'd save protocol (the caller deletes it only AFTER
+    committing its metadata; see recover_save)."""
     new_d = live_dir + _SWAP_NEW
     if os.path.exists(live_dir):
         old_d = live_dir + _SWAP_OLD
+        shutil.rmtree(old_d, ignore_errors=True)
         os.replace(live_dir, old_d)
         os.replace(new_d, live_dir)
-        shutil.rmtree(old_d, ignore_errors=True)
+        if not keep_old:
+            shutil.rmtree(old_d, ignore_errors=True)
     else:
         os.replace(new_d, live_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multi-directory token'd save protocol
+#
+# A save that replaces SEVERAL parquet dirs (IvfIndex: store + centroids;
+# TileAnnIndex: nodes + per-view xy/atiles) cannot be made atomic by
+# per-dir swaps alone: a crash mid-sequence leaves new tables mixed with
+# old ones (e.g. appended rows present in nodes but absent from every
+# view — silently unreachable). Protocol:
+#
+#   1. write EVERY table to its ``.compacting`` sibling, stamping each
+#      with the same random save token (``_savetoken`` file — the
+#      leading underscore hides it from Spark listings);
+#   2. swap every dir in, KEEPING the replaced dir as ``.compact-old``;
+#   3. commit metadata LAST (meta.json carries the token, written via
+#      tmp-file + os.replace so it is itself atomic);
+#   4. delete the ``.compact-old`` siblings.
+#
+# recover_save(), run at load/append/save entry BEFORE anything reads
+# the dirs (and before any heal_compaction, which would discard the
+# rollback siblings), maps every crash window to a mechanical action:
+# roll the dirs back to the meta-committed save, or finish the cleanup.
+# ---------------------------------------------------------------------------
+
+_SAVE_TOKEN = "_savetoken"
+
+
+def write_save_token(new_dir: str, token: str) -> None:
+    """Stamp a fully-written ``.compacting`` sibling with its save's
+    token (step 1 of the protocol)."""
+    with open(os.path.join(new_dir, _SAVE_TOKEN), "w") as fh:
+        fh.write(token)
+
+
+def read_save_token(live_dir: str) -> str | None:
+    p = os.path.join(live_dir, _SAVE_TOKEN)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return fh.read().strip()
+    return None
+
+
+def write_meta_atomic(meta_path: str, meta: dict) -> None:
+    """Commit metadata via tmp-file + rename — a crash mid-write must
+    not leave a torn meta.json (the committed truth recover_save keys
+    off)."""
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, meta_path)
+
+
+def recover_save(live_dirs: list[str], meta_token: str | None) -> dict[str, str]:
+    """Recover a multi-dir token'd save after any crash: every dir ends
+    up at the meta-committed state (``meta_token`` from the meta.json
+    written in step 3; None for legacy/pre-token saves). Returns the
+    per-dir action taken. Raises on a torn state with no rollback
+    material (e.g. the siblings were healed away by a writer that
+    bypassed this recovery).
+
+    Per-dir windows:
+      live missing + .compact-old present -> mid-swap crash of an
+        UNCOMMITTED save (the old dir is the committed state): restore
+        it, discard the rewrite.
+      live missing + only .compacting -> no rollback material: complete
+        the swap (the rewrite was fully written before step 2).
+      live present, token != meta_token -> the dir was swapped but the
+        save never committed: roll back from .compact-old, or raise.
+      live present, token matches (or legacy) -> committed: delete any
+        leftover siblings (step-4 crash).
+    """
+    actions: dict[str, str] = {}
+    for live in live_dirs:
+        old_d, new_d = live + _SWAP_OLD, live + _SWAP_NEW
+        if not any(os.path.exists(p) for p in (live, old_d, new_d)):
+            continue  # first-ever save: nothing on disk yet for this dir
+        if not os.path.exists(live):
+            if os.path.exists(old_d):
+                shutil.rmtree(new_d, ignore_errors=True)
+                os.replace(old_d, live)
+                actions[live] = "rolled-back"
+            else:
+                os.replace(new_d, live)
+                actions[live] = "completed-swap"
+            continue
+        tok = read_save_token(live)
+        if meta_token is not None and tok is not None and tok != meta_token:
+            if os.path.exists(old_d):
+                shutil.rmtree(live)
+                os.replace(old_d, live)
+                shutil.rmtree(new_d, ignore_errors=True)
+                actions[live] = "rolled-back"
+                continue
+            raise RuntimeError(
+                f"{live}: save token {tok!r} does not match the committed "
+                f"metadata's {meta_token!r} and no {_SWAP_OLD} sibling "
+                "remains to roll back to — the save that wrote this dir "
+                "crashed before committing and its rollback material was "
+                "removed. Restore from a checkpoint or re-save from a "
+                "rebuilt index."
+            )
+        took = None
+        if os.path.exists(old_d):
+            shutil.rmtree(old_d)
+            took = "cleaned"
+        if os.path.exists(new_d):
+            shutil.rmtree(new_d)
+            took = "cleaned"
+        if took:
+            actions[live] = took
+    return actions
 
 
 def heal_compaction(live_dir: str) -> str | None:
@@ -356,7 +470,13 @@ def compact_ivf_store(
     with open(meta_path) as fh:
         meta = json.load(fh)
     store = os.path.join(path, "store.parquet")
-    heal_compaction(store)
+    # token-aware recovery, NOT bare heal: a bare heal could complete
+    # the half-swap of a save() that never committed its meta, leaving
+    # the store ahead of the committed centroids/ledger
+    recover_save(
+        [store, os.path.join(path, "centroids.parquet")],
+        meta.get("save_token"),
+    )
     scrubbed = scrub_orphan_appends_partitioned(
         store, "append", set(meta.get("appends", []))
     )
@@ -403,6 +523,5 @@ def compact_ivf_store(
     meta.setdefault("compactions", []).append(
         {k: report[k] for k in ("files_before", "files_after", "rows", "wall_sec")}
     )
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh, indent=1)
+    write_meta_atomic(meta_path, meta)
     return report

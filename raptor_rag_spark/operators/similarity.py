@@ -73,6 +73,10 @@ class TileAnnIndex:
         self.membership = membership
         self.quantized = quantized
         self.recall: float | None = None
+        # append ids whose rows this index's view contains — persisted
+        # as save()'s meta ledger so appends retried after a re-save
+        # absorbed their rows still no-op (see append_persisted)
+        self.applied_appends: list[str] = []
         self.base_resolution = base_resolution
         self.max_occupancy = max_occupancy
         self.max_resolution = max_resolution
@@ -137,31 +141,49 @@ class TileAnnIndex:
         directories (dynamic partition overwrite), exactly like the
         tree's prefix-partitioned level checkpoints.
 
-        Safe over a LIVE path (re-save after in-memory append()s): a
-        loaded index's nodes/xy/atiles lazily READ the very dirs being
-        replaced, so every table is written to a swap sibling first and
-        renamed in afterwards (heal_compaction protocol) — ALL writes
-        complete before ANY swap, since the atiles write's plan reads
-        the old xy files."""
+        Safe over a LIVE path (re-save after in-memory append()s), and
+        crash-atomic ACROSS tables: a loaded index's nodes/xy/atiles
+        lazily READ the very dirs being replaced, and a crash between
+        per-dir replacements would leave e.g. appended rows in nodes
+        but in no view's tiles — silently unreachable. So the save uses
+        the multi-dir token protocol (operators/maintenance.py
+        recover_save): every table writes to a swap sibling stamped
+        with ONE save token (ALL writes complete before ANY swap —
+        the atiles write's plan reads the old xy files), all dirs swap
+        in keeping the old dirs as rollback material, meta (carrying
+        the token + the append ledger) commits LAST, then cleanup.
+        load()/append_persisted() recover any crash window back to the
+        committed save. Foreign meta keys (e.g. compact_ann_nodes'
+        ``compactions``) are preserved."""
         import json
         import os
+        import uuid
 
         from raptor_rag_spark.operators.maintenance import (
             _SWAP_NEW,
-            heal_compaction,
+            recover_save,
             swap_live_dir,
+            write_meta_atomic,
+            write_save_token,
         )
 
         spark = self.nodes.sparkSession
         os.makedirs(path, exist_ok=True)
+        meta_path = os.path.join(path, "meta.json")
+        meta: dict = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        recover_save(self._table_dirs(path, meta), meta.get("save_token"))
+        token = uuid.uuid4().hex
         swaps = []  # live dirs whose .compacting sibling is fully written
 
         def _write(df, live, part_col=None):
-            heal_compaction(live)
             w = df.write.mode("overwrite")
             if part_col:
                 w = w.partitionBy(part_col)
             w.parquet(live + _SWAP_NEW)
+            write_save_token(live + _SWAP_NEW, token)
             swaps.append(live)
 
         _write(self.nodes, os.path.join(path, "nodes.parquet"))
@@ -186,25 +208,42 @@ class TileAnnIndex:
             seeds.append(seed)
             if isinstance(pop, set):
                 keys[str(seed)] = sorted(pop)
+        # every table fully written: swap all (keeping rollback
+        # material), commit meta last, then clean up
         for live in swaps:
-            swap_live_dir(live)
+            swap_live_dir(live, keep_old=True)
             spark.catalog.refreshByPath(live)
-        meta = {
-            "partitioned_by_base": partition_by_base,
-            "dim": self.dim,
-            "id_col": self.id_col,
-            "membership": self.membership,
-            "quantized": self.quantized,
-            "resolutions": self.resolutions,
-            "base_resolution": self.base_resolution,
-            "max_occupancy": self.max_occupancy,
-            "max_resolution": self.max_resolution,
-            "seeds": seeds,
-            "populated_keys": keys,
-            "recall": recall if recall is not None else self.recall,
-        }
-        with open(os.path.join(path, "meta.json"), "w") as fh:
-            json.dump(meta, fh, indent=1)
+        meta.update(
+            {
+                "partitioned_by_base": partition_by_base,
+                "dim": self.dim,
+                "id_col": self.id_col,
+                "membership": self.membership,
+                "quantized": self.quantized,
+                "resolutions": self.resolutions,
+                "base_resolution": self.base_resolution,
+                "max_occupancy": self.max_occupancy,
+                "max_resolution": self.max_resolution,
+                "seeds": seeds,
+                "populated_keys": keys,
+                "appends": list(self.applied_appends),
+                "save_token": token,
+                "recall": recall if recall is not None else self.recall,
+            }
+        )
+        write_meta_atomic(meta_path, meta)
+        recover_save(swaps, token)  # step-4 cleanup
+
+    @staticmethod
+    def _table_dirs(path: str, meta: dict) -> list[str]:
+        """Every parquet dir a save() replaces — the recover_save unit."""
+        import os
+
+        dirs = [os.path.join(path, "nodes.parquet")]
+        for seed in meta.get("seeds", []):
+            vd = os.path.join(path, f"view-{seed}")
+            dirs += [os.path.join(vd, "xy.parquet"), os.path.join(vd, "atiles.parquet")]
+        return dirs
 
     @classmethod
     def load(cls, spark, path: str) -> "TileAnnIndex":
@@ -216,9 +255,15 @@ class TileAnnIndex:
 
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
+        # BEFORE any read: a save() that crashed mid-commit may have
+        # left table dirs renamed away or ahead of the committed meta
+        from raptor_rag_spark.operators.maintenance import recover_save
+
+        recover_save(cls._table_dirs(path, meta), meta.get("save_token"))
         self = cls.__new__(cls)
         self.dim = meta["dim"]
         self.id_col = meta["id_col"]
+        self.applied_appends = list(meta.get("appends", []))
         self.membership = meta["membership"]
         self.quantized = meta.get("quantized", False)
         self.resolutions = meta["resolutions"]
@@ -362,6 +407,13 @@ class TileAnnIndex:
         spark = self.nodes.sparkSession
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
+        # BEFORE any read: recover a save() that crashed mid-commit
+        from raptor_rag_spark.operators.maintenance import (
+            recover_save,
+            write_meta_atomic,
+        )
+
+        recover_save(self._table_dirs(path, meta), meta.get("save_token"))
         if not meta.get("partitioned_by_base"):
             raise ValueError(
                 "append_persisted needs a save(partition_by_base=True) layout; "
@@ -377,6 +429,11 @@ class TileAnnIndex:
         # apply, not silently no-op against the applied ledger
         append_id = content_append_id(add, ["node_id", "embedding"])
         if append_id in meta.get("appends", []):
+            # the rows are on disk (commit-last) — re-point this index's
+            # views at storage so a retrying caller sees them
+            fresh = TileAnnIndex.load(spark, path)
+            self.nodes, self.views = fresh.nodes, fresh.views
+            self.applied_appends = list(meta.get("appends", []))
             return {"already_applied": append_id}
         stats: dict = {"append_id": append_id}
         keys_meta = meta.get("populated_keys", {})
@@ -452,11 +509,11 @@ class TileAnnIndex:
         stage_parquet_append(stored, nodes_path, append_id, part_prefix="append")
         meta["populated_keys"] = keys_meta
         meta.setdefault("appends", []).append(append_id)
-        with open(os.path.join(path, "meta.json"), "w") as fh:
-            json.dump(meta, fh, indent=1)
+        write_meta_atomic(os.path.join(path, "meta.json"), meta)
         # re-point the in-memory state at the updated storage
         fresh = TileAnnIndex.load(spark, path)
         self.nodes, self.views = fresh.nodes, fresh.views
+        self.applied_appends = list(meta["appends"])
         return stats
 
     def measure_recall(

@@ -557,3 +557,65 @@ def test_ann_index_resave_over_live_path(spark, points, tmp_path):
     )
     top1 = again.search(q, k=1).collect()
     assert all(r["query_id"] == r["node_id"] for r in top1)
+
+
+def test_ann_index_resave_preserves_append_ledger(spark, points, tmp_path):
+    """The TileAnnIndex twin of the IVF ledger test: an append whose
+    node rows were absorbed by a re-save must still no-op when retried
+    — otherwise the retry lands every batch node row TWICE in
+    nodes.parquet (there is no node_id dup guard on that path)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    kw = dict(dim=DIM, seeds=(224,), base_resolution=2, max_occupancy=64,
+              max_resolution=7)
+    initial = points.filter(F.col("node_id") % 7 != 0)
+    batch = points.filter(F.col("node_id") % 7 == 0).localCheckpoint(eager=True)
+    p = str(tmp_path / "ann_ledger")
+    TileAnnIndex(initial, **kw).save(p)
+    loaded = TileAnnIndex.load(spark, p)
+    first = loaded.append_persisted(p, batch)
+    assert "append_id" in first
+    loaded.save(p)  # absorbs the staged node files into a fresh store
+    retried = TileAnnIndex.load(spark, p).append_persisted(p, batch)
+    assert retried == {"already_applied": first["append_id"]}
+    again = TileAnnIndex.load(spark, p)
+    assert again.nodes.count() == points.count()  # no duplicate rows
+
+
+def test_ann_index_save_crash_between_table_swaps(spark, points, tmp_path):
+    """A save() crash between per-table swaps must NOT leave new nodes
+    paired with old tiles (appended rows silently unreachable): load()
+    rolls every table back to the committed save."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from raptor_rag_spark.operators.maintenance import write_save_token
+    from raptor_rag_spark.operators.similarity import TileAnnIndex
+
+    kw = dict(dim=DIM, seeds=(224,), base_resolution=2, max_occupancy=64,
+              max_resolution=7)
+    initial = points.filter(F.col("node_id") % 7 != 0)
+    p = str(tmp_path / "ann_torn")
+    TileAnnIndex(initial, **kw).save(p)
+    committed_count = initial.count()
+    nodes_dir = os.path.join(p, "nodes.parquet")
+    # simulate: a re-save (after an in-memory append) swapped nodes in
+    # with MORE rows, then crashed before swapping the view tables or
+    # committing meta
+    os.replace(nodes_dir, nodes_dir + ".compact-old")
+    shutil.copytree(nodes_dir + ".compact-old", nodes_dir)
+    donor = [f for f in os.listdir(nodes_dir) if f.startswith("part-")][0]
+    shutil.copy(
+        os.path.join(nodes_dir, donor),
+        os.path.join(nodes_dir, "part-extra-00000.parquet"),
+    )
+    write_save_token(nodes_dir, "uncommitted-token")
+    spark.catalog.refreshByPath(nodes_dir)
+
+    loaded = TileAnnIndex.load(spark, p)  # rolls nodes back
+    assert loaded.nodes.count() == committed_count
+    assert not os.path.exists(nodes_dir + ".compact-old")

@@ -507,3 +507,74 @@ def test_compact_ivf_store(tmp_path, spark, emb):
     batch2 = emb.filter(F.col("node_id") % 4 == 2)
     out = loaded.append_persisted(p, batch2)
     assert out == {"already_applied": applied[0]["append_id"]}
+
+
+def test_save_crash_mid_swap_rolls_back(tmp_path, spark, emb, queries):
+    """A save() that crashed after swapping the store in but BEFORE
+    committing meta must roll back at the next load: the committed
+    (old) store returns, not the uncommitted rewrite."""
+    import os
+    import shutil
+
+    from raptor_rag_spark.operators.maintenance import write_save_token
+
+    base = emb.filter(F.col("node_id") % 3 != 0)
+    p = str(tmp_path / "ivf_crash")
+    IvfIndex(base, nlist=16, seed=42, n_iters=8).save(p)
+    committed = _key(IvfIndex.load(spark, p).search(queries, k=5, nprobe=16))
+    store = os.path.join(p, "store.parquet")
+    # simulate: an uncommitted re-save (different content) swapped the
+    # store in (keeping the old dir) and crashed before writing meta
+    os.replace(store, store + ".compact-old")
+    shutil.copytree(store + ".compact-old", store)
+    first_list = sorted(
+        d for d in os.listdir(store) if d.startswith("list_id=")
+    )[0]
+    shutil.rmtree(os.path.join(store, first_list))  # content differs
+    write_save_token(store, "uncommitted-token")
+    spark.catalog.refreshByPath(store)
+
+    loaded = IvfIndex.load(spark, p)  # recover_save rolls back
+    assert _key(loaded.search(queries, k=5, nprobe=16)) == committed
+    assert not os.path.exists(store + ".compact-old")
+
+
+def test_retry_noop_runs_before_centroid_validation(tmp_path, spark, emb):
+    """A ledger-hit retry must no-op WITHOUT reading the centroid
+    sidecar (micro-batch retries stay cheap): with centroids.parquet
+    deleted outright, the retry still returns already_applied."""
+    import os
+    import shutil
+
+    base = emb.filter(F.col("node_id") % 4 != 0)
+    batch = emb.filter(F.col("node_id") % 4 == 0).localCheckpoint(eager=True)
+    p = str(tmp_path / "ivf_cheap_retry")
+    idx = IvfIndex(base, nlist=16, seed=42, n_iters=8)
+    idx.save(p)
+    first = idx.append_persisted(p, batch)
+    shutil.rmtree(os.path.join(p, "centroids.parquet"))
+    out = idx.append_persisted(p, batch)
+    assert out == {"already_applied": first["append_id"]}
+
+
+def test_resave_preserves_foreign_meta_keys(tmp_path, spark, emb):
+    """save() updates the existing meta in place: compact_ivf_store's
+    compactions history must survive a re-save."""
+    import json
+    import os
+
+    from raptor_rag_spark.operators.maintenance import compact_ivf_store
+
+    p = str(tmp_path / "ivf_meta_keys")
+    idx = IvfIndex(emb.filter(F.col("node_id") % 4 != 0), nlist=8, seed=42,
+                   n_iters=8)
+    idx.save(p)
+    idx.append_persisted(
+        p, emb.filter(F.col("node_id") % 4 == 0).localCheckpoint(eager=True)
+    )
+    report = compact_ivf_store(spark, p)
+    assert report["compacted"]
+    IvfIndex.load(spark, p).save(p)
+    with open(os.path.join(p, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta.get("compactions"), "re-save dropped the compaction history"

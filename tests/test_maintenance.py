@@ -275,3 +275,68 @@ def test_stage_append_heals_mid_swap_first(spark, tmp_path):
     got = spark.read.parquet(live)
     assert got.count() == 110  # full original data + the delta
     assert got.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(110))
+
+
+def test_recover_save_windows(tmp_path):
+    """Every crash window of the multi-dir token'd save protocol maps
+    to a mechanical action: mid-swap rollback, swap completion without
+    rollback material, committed-state cleanup, and a loud error when
+    a torn dir has no rollback sibling left."""
+    import shutil
+
+    from raptor_rag_spark.operators.maintenance import (
+        read_save_token,
+        recover_save,
+        write_save_token,
+    )
+
+    def mkdir(p, marker, token=None):
+        os.makedirs(p)
+        open(os.path.join(p, f"part-{marker}.parquet"), "w").write(marker)
+        if token:
+            write_save_token(p, token)
+
+    # window 1: swapped but uncommitted (live token != meta's, old kept)
+    a = str(tmp_path / "a")
+    mkdir(a, "new-uncommitted", token="T2")
+    mkdir(a + ".compact-old", "committed", token="T1")
+    assert recover_save([a], "T1") == {a: "rolled-back"}
+    assert read_save_token(a) == "T1"
+    assert os.path.exists(os.path.join(a, "part-committed.parquet"))
+
+    # window 2: mid-swap (live missing, old = committed state)
+    b = str(tmp_path / "b")
+    mkdir(b + ".compact-old", "committed", token="T1")
+    mkdir(b + ".compacting", "rewrite", token="T2")
+    assert recover_save([b], "T1") == {b: "rolled-back"}
+    assert read_save_token(b) == "T1"
+    assert not os.path.exists(b + ".compacting")
+
+    # window 3: live missing, no rollback material -> complete the swap
+    c = str(tmp_path / "c")
+    mkdir(c + ".compacting", "rewrite", token="T2")
+    assert recover_save([c], "T2") == {c: "completed-swap"}
+    assert read_save_token(c) == "T2"
+
+    # window 4: committed (token matches) with leftover siblings
+    d = str(tmp_path / "d")
+    mkdir(d, "committed", token="T1")
+    mkdir(d + ".compact-old", "stale", token="T0")
+    mkdir(d + ".compacting", "stale-rewrite", token="T0")
+    assert recover_save([d], "T1") == {d: "cleaned"}
+    assert not os.path.exists(d + ".compact-old")
+    assert not os.path.exists(d + ".compacting")
+
+    # torn: token mismatch, rollback material gone -> raise, dir kept
+    e = str(tmp_path / "e")
+    mkdir(e, "orphaned", token="T9")
+    with pytest.raises(RuntimeError, match="no .compact-old sibling"):
+        recover_save([e], "T1")
+    assert os.path.exists(e)
+
+    # absent dirs (first-ever save) and legacy saves (no meta token)
+    assert recover_save([str(tmp_path / "nothing")], "T1") == {}
+    f = str(tmp_path / "f")
+    mkdir(f, "legacy")  # no token file
+    shutil.rmtree(f + ".compact-old", ignore_errors=True)
+    assert recover_save([f], None) == {}
