@@ -663,8 +663,7 @@ def main() -> None:
         "running_budget",
         "join_agg",
         "embedding_neardup",
-        "self_similarity_tiled",
-        "simhash_sig",
+        "simhash",
         "fingerprint",
         "pages_month",
         "range_join",
@@ -674,7 +673,7 @@ def main() -> None:
         "approx_distinct",
     )
     # curated order first (round-over-round comparability), then every
-    # remaining contract query — the whole 52-query surface is timed.
+    # remaining contract query — the whole 50-query surface is timed.
     # Evaluation is a noop-sink WRITE, not count(): under count(),
     # Catalyst prunes unused projections (and eliminates left joins
     # against unique-key aggregates), so map-only queries timed a bare

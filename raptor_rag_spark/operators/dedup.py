@@ -752,3 +752,100 @@ def minhash_dedup_pairs_jvm(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "est_jaccard", "n_common", "jaccard")
+
+
+# ------------------------------------------------- decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose text covers
+    >= ``threshold`` of some benchmark item's word n-grams — the
+    standard train/test-overlap check for LLM training corpora
+    (n-gram collision method, public: GPT-3 App. C / PaLM App. — both
+    use 8-13-word n-gram overlap against eval sets).
+
+    Returns one row per contaminated (doc, bench) pair:
+    (doc_id, bench_id, n_common, sz_bench, overlap_frac), where
+    overlap_frac = |shingles(doc) ∩ shingles(bench)| / |shingles(bench)|.
+
+    Scale shape (100 TB corpus, eval sets ~10^3..10^6 items): the
+    benchmark's distinct-shingle table is tiny next to the corpus, so
+    it BROADCASTS — the corpus side explodes shingles map-side and the
+    probe is a broadcast hash join with NO corpus shuffle; the only
+    shuffle is the (doc_id, bench_id) partial-agg count, whose rows
+    exist only where a doc actually shares an n-gram. n >= 8 keeps
+    shingles near-unique (no hot-key caps needed, mirroring the
+    published method); shorter n reintroduces stopword-run skew — use
+    ngram_jaccard_pairs' max_df approach if you must go short.
+    """
+    shingler = make_word_shingles_udf(n)
+    bench_sh = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingler(F.col(bench_text_col)))).alias("sh"),
+    ).distinct()
+    sizes = bench_sh.groupBy("bench_id").agg(F.count("*").alias("sz_bench"))
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+        sizes = F.broadcast(sizes)
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingler(F.col(text_col)))).alias("sh"),
+    ).distinct()
+    hits = (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        hits.join(sizes, "bench_id")
+        .withColumn(
+            "overlap_frac", F.col("n_common") / F.col("sz_bench").cast("double")
+        )
+        .filter(F.col("overlap_frac") >= threshold)
+    )
+    return out.select(
+        "doc_id",
+        "bench_id",
+        "n_common",
+        "sz_bench",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
+# --------------------------------------------------- recrawl collapse
+
+def keep_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Recrawl collapse: keep the newest row per key (url) — the
+    web-crawl ingest dedup that precedes content dedup (a url crawled
+    K times contributes ONE page, the latest fetch).
+
+    Window row_number over (key) ordered by ts DESC then ``tie_cols``
+    ASC (deterministic under equal timestamps). Plan: one hash shuffle
+    on the key + WindowGroupLimit — Spark pushes the rank<=1 limit
+    map-side (partial top-1 per key before the shuffle), so the
+    shuffle carries at most one row per (key, input partition), never
+    the full recrawl history. No global sort.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()] + [F.col(c).asc() for c in (tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -363,3 +363,87 @@ def make_lang_id_udf():
             yield pd.Series(out)
 
     return lid
+
+
+REPETITION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_lines", T.IntegerType()),
+        T.StructField("dup_line_frac", T.DoubleType()),
+        T.StructField("n_paras", T.IntegerType()),
+        T.StructField("dup_para_frac", T.DoubleType()),
+        T.StructField("top_word_frac", T.DoubleType()),
+        T.StructField("top_bigram_frac", T.DoubleType()),
+    ]
+)
+
+
+def make_repetition_udf():
+    """Arrow kernel computing Gopher-style repetition signals (public:
+    Rae et al. 2021, "Scaling Language Models" App. A1.1 repetition
+    filters) per document in ONE map-side pass:
+
+    - dup_line_frac / dup_para_frac: fraction of non-empty lines
+      (split '\\n') / paragraphs (split '\\n\\n') that are duplicates
+      of an earlier one (1 - distinct/total; 0 when none).
+    - top_word_frac / top_bigram_frac: share of the most frequent
+      word / word-2gram among all words / 2grams (words = the corpus
+      normalization: lowercase, whitespace-class split, '' dropped).
+
+    All counts are integers and the fractions are single IEEE
+    divisions, so the DuckDB oracle reproduces them bit-exactly.
+    NULL text -> NULL metrics (mirrors SQL NULL propagation).
+    """
+    import re
+    from collections import Counter
+
+    ws_run = re.compile(WS_SPLIT)
+
+    def _row(t):
+        if t is None:
+            return (None, None, None, None, None, None)
+        lines = [l for l in t.split("\n") if l != ""]
+        paras = [p for p in t.split("\n\n") if p != ""]
+        words = [w for w in ws_run.split(t.lower()) if w != ""]
+        bigrams = [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
+        # raw IEEE divisions only — rounding happens JVM-side
+        # (F.round) so Spark and the DuckDB oracle share ROUND
+        # semantics; Python round() is a third dialect
+        dl = 0.0 if not lines else 1.0 - len(set(lines)) / len(lines)
+        dp = 0.0 if not paras else 1.0 - len(set(paras)) / len(paras)
+        tw = 0.0 if not words else Counter(words).most_common(1)[0][1] / len(words)
+        tb = (
+            0.0
+            if not bigrams
+            else Counter(bigrams).most_common(1)[0][1] / len(bigrams)
+        )
+        return (len(lines), dl, len(paras), dp, tw, tb)
+
+    @F.pandas_udf(REPETITION_SCHEMA)
+    def rep(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in REPETITION_SCHEMA.fields]
+        for series in batches:
+            rows = [_row(t) for t in series]
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"n_lines": "Int32", "n_paras": "Int32"}
+            )
+
+    return rep
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition quality signals (see make_repetition_udf).
+
+    Scale shape: one Arrow-batched map-only pass — no explode, no
+    shuffle (the naive SQL formulation explodes lines/words and
+    re-aggregates: 2 shuffles of the full token stream). At 100 TB
+    the kernel streams parquet batches through Python workers and the
+    output is one short row per doc.
+    """
+    rep = make_repetition_udf()
+    m = df.select(F.col(id_col), rep(F.col(text_col)).alias("_m"))
+    m = m.select(id_col, "_m.*")
+    for c in ("dup_line_frac", "dup_para_frac", "top_word_frac", "top_bigram_frac"):
+        m = m.withColumn(c, F.round(F.col(c), 6))
+    return m

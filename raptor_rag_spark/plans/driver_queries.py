@@ -458,20 +458,62 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
 
+DECONTAM_MOD = 41  # bench set = docs with doc_id % 41 == 3 (deterministic)
+DECONTAM_PREFIX_WORDS = 25
+DECONTAM_N = 5
+DECONTAM_THRESHOLD = 0.4
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/test n-gram overlap): the
+    benchmark set is derived deterministically from documents (every
+    41st doc contributes its first 25 normalized words as an "eval
+    item"), so the oracle can rebuild it in SQL; flagged = corpus docs
+    covering >= 40% of a bench item's 5-gram set. The scale shape is
+    dedup.decontaminate's broadcast-benchmark hash probe (no corpus
+    shuffle before the per-(doc,bench) count)."""
+    from raptor_rag_spark.operators.dedup import decontaminate, normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 3).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(words, 1, DECONTAM_PREFIX_WORDS)).alias("text"),
+    )
+    return decontaminate(
+        docs, bench, n=DECONTAM_N, threshold=DECONTAM_THRESHOLD
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup line/para fraction,
+    top word/2gram share) — one Arrow map-only pass, no shuffle; the
+    oracle recomputes them with explode+aggregate SQL (same integer
+    counts, same IEEE divisions)."""
+    from raptor_rag_spark.operators.textstats import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, min_cosine=0.35)
-
-
-def q_self_similarity_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile-bucketed (metric-pruned) near-dup pairs — the scale path:
-    only pairs co-located in a soft cell are scored, per-cell BLAS
-    matmul. Semantics (soft-cell co-location at res 3, eps 0.15) are
-    exactly mirrored in the oracle SQL."""
+    """Embedding near-dup pairs, one tagged result (merged from the
+    former embedding_neardup + self_similarity_tiled entries; 50-entry
+    driver record cap, see COVERAGE.md). kind='exact' = blocked
+    all-pairs BLAS; kind='tiled' = the scale path — only pairs
+    co-located in a soft cell (res 3, eps 0.15) are scored, per-cell
+    matmul; the soft-cell semantics are mirrored exactly in the
+    oracle SQL."""
     from raptor_rag_spark.operators.similarity import self_similarity_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return self_similarity_pairs(emb, min_cosine=0.35, resolution=3, item_id="vec_id", dim=DIM)
+    exact = embedding_neardup_pairs(emb, min_cosine=0.35).select(
+        F.lit("exact").alias("kind"), "id_a", "id_b", "cosine"
+    )
+    tiled = self_similarity_pairs(
+        emb, min_cosine=0.35, resolution=3, item_id="vec_id", dim=DIM
+    ).select(F.lit("tiled").alias("kind"), "id_a", "id_b", "cosine")
+    return exact.unionByName(tiled)
 
 
 # ----------------------------- rows-only (no SQL oracle) ------------
@@ -522,15 +564,32 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM simhash (md5-prefix hash, one hash-aggregate over exploded
-    tokens) — bit-identical oracle in DuckDB. The FNV Python kernel
-    (make_simhash_udf) remains the no-shuffle per-row variant, covered
-    by pytest planted-pair tests."""
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash family, one tagged result (merged from the former
+    simhash_sig + simhash_pairs entries; 50-entry driver record cap,
+    see COVERAGE.md). kind='sig' rows carry (doc_id, -1, simhash);
+    kind='pair' rows carry (id_a, id_b, hamming) from the 12-bit block
+    pigeonhole candidate join + exact popcount verify (hot buckets
+    capped). Bit-identical oracle in DuckDB via md5-prefix60. The FNV
+    Python kernel (make_simhash_udf) remains the no-shuffle per-row
+    variant, covered by pytest planted-pair tests."""
+    from raptor_rag_spark.operators.dedup import simhash_pairs_jvm
     from raptor_rag_spark.operators.textstats import simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_signatures(docs)
+    sig = simhash_signatures(docs).select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("simhash").cast("long").alias("val"),
+    )
+    pairs = simhash_pairs_jvm(docs, max_hamming=3, blocks=4).select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return sig.unionByName(pairs)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,7 +783,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged result — merged from the former set_ops + semi_anti entries
     (50-entry driver record cap, see COVERAGE.md). Unified schema
     (kind, key, n): set-op rows carry n=1 per member; anti rows carry
-    the per-nation customer count."""
+    the per-nation customer count; kind='latest_per_user' rows carry
+    the event_id kept by dedup.keep_latest (recrawl collapse: newest
+    row per key, ts DESC + event_id ASC tie-break — the WindowGroupLimit
+    top-1 plan shape)."""
     ev = _t(spark, sf_dir, "events")
     signup = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
     error = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
@@ -750,7 +812,14 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return both.unionByName(only_signup).unionByName(anti)
+    from raptor_rag_spark.operators.dedup import keep_latest
+
+    latest = keep_latest(ev, ["user_id"], "ts", tie_cols=["event_id"]).select(
+        F.lit("latest_per_user").alias("kind"),
+        F.col("user_id").cast("long").alias("key"),
+        F.col("event_id").cast("long").alias("n"),
+    )
+    return both.unionByName(only_signup).unionByName(anti).unionByName(latest)
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,18 +960,6 @@ def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_sum(docs, ["lang"], sum_col="n_chars", salt=8)
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over the oracle-able 48-bit JVM simhash:
-    16 (=48/blocks... 12)-bit block pigeonhole candidate join + exact
-    popcount verify, hot buckets capped (max_block_df) — the pair
-    generator for hamming-style near-dup at corpus scale. The FNV-UDF
-    variant (dedup.simhash_pairs) stays as the no-shuffle kernel."""
-    from raptor_rag_spark.operators.dedup import simhash_pairs_jvm
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs_jvm(docs, max_hamming=3, blocks=4)
-
-
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: blocking keys (exact-normalized-text md5 +
     winnowing fingerprint) -> star edges per key (member -> key-min,
@@ -1004,8 +1061,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_cube": q_rollup_cube,
     "join_agg": q_join_agg,
     "ngram_jaccard": q_ngram_jaccard,
+    "decontam": q_decontam,
+    "repetition": q_repetition,
     "embedding_neardup": q_embedding_neardup,
-    "self_similarity_tiled": q_self_similarity_tiled,
     "knn_threshold": q_knn_threshold,
     "text_normalize": q_text_normalize,
     "embed_norm": q_embed_norm,
@@ -1017,7 +1075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_snapshots": q_catalog_snapshots,
     "global_topn": q_global_topn,
     "range_join": q_range_join,
-    "simhash_pairs": q_simhash_pairs,
+    "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "top_terms": q_top_terms,
@@ -1027,7 +1085,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traversal_retrieval": q_traversal_retrieval,
     "chunks": q_chunks,
     "minhash_pairs": q_minhash_pairs,
-    "simhash_sig": q_simhash_sig,
     "minhash_sig": q_minhash_sig,
     "fingerprint": q_fingerprint,
     "collapsed_retrieval": q_collapsed_retrieval,
@@ -1187,6 +1244,105 @@ WHERE ROUND(n_common * 1.0 / (sz_a + sz_b - n_common), 6) >= {threshold}
 """
 
 
+def _decontam_sql() -> str:
+    """Mirrors q_decontam: bench items = first 25 normalized words of
+    every (doc_id % 41 == 3) doc; overlap = |5-gram(doc) ∩
+    5-gram(bench)| / |5-gram(bench)| >= 0.4."""
+    n = DECONTAM_N
+    parts = ", ".join(f"words[i+{j}]" for j in range(n))
+    bparts = ", ".join(f"bw[i+{j}]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), bench AS (
+  SELECT doc_id AS bench_id, array_to_string(words[1:{DECONTAM_PREFIX_WORDS}], ' ') AS btext
+  FROM w WHERE doc_id % {DECONTAM_MOD} = 3
+), bw AS (
+  SELECT bench_id, string_split(btext, ' ') AS bw FROM bench
+), bsh AS (
+  SELECT bench_id, list_distinct(
+           list_transform(range(1, greatest(len(bw) - {n - 1}, 1) + 1),
+                          i -> concat_ws(' ', {bparts}))) AS shingles
+  FROM bw
+), bx AS (
+  SELECT bench_id, unnest(shingles) AS sh FROM bsh
+), sizes AS (
+  SELECT bench_id, CAST(len(shingles) AS BIGINT) AS sz_bench FROM bsh
+), dsh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(words) - {n - 1}, 1) + 1),
+                          i -> concat_ws(' ', {parts})))) AS sh
+  FROM w
+), hits AS (
+  SELECT d.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM dsh d JOIN bx b ON d.sh = b.sh
+  GROUP BY d.doc_id, b.bench_id
+)
+SELECT h.doc_id, h.bench_id, h.n_common, s.sz_bench,
+       ROUND(h.n_common / CAST(s.sz_bench AS DOUBLE), 6) AS overlap_frac
+FROM hits h JOIN sizes s ON s.bench_id = h.bench_id
+WHERE h.n_common / CAST(s.sz_bench AS DOUBLE) >= {DECONTAM_THRESHOLD}
+"""
+
+
+def _repetition_sql() -> str:
+    """Mirrors textstats.repetition_metrics: same integer counts, same
+    IEEE divisions (1.0 - d/t, mc/t), ROUND(...,6) both sides. NULL
+    text -> NULL metrics via natural NULL propagation."""
+    return """
+WITH base AS (SELECT doc_id, text FROM documents),
+l AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM base
+),
+p AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS ps
+  FROM base
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS ws
+  FROM base
+),
+b AS (
+  SELECT doc_id, list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bs
+  FROM w
+),
+wmax AS (
+  SELECT doc_id, MAX(c) AS mc FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS x FROM w) GROUP BY doc_id, x
+  ) GROUP BY doc_id
+),
+bmax AS (
+  SELECT doc_id, MAX(c) AS mc FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bs) AS x FROM b) GROUP BY doc_id, x
+  ) GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(len(l.ls) AS INT) AS n_lines,
+       ROUND(CASE WHEN len(l.ls) = 0 THEN 0.0
+             ELSE 1.0 - (len(list_distinct(l.ls)) * 1.0 / len(l.ls)) END, 6) AS dup_line_frac,
+       CAST(len(p.ps) AS INT) AS n_paras,
+       ROUND(CASE WHEN len(p.ps) = 0 THEN 0.0
+             ELSE 1.0 - (len(list_distinct(p.ps)) * 1.0 / len(p.ps)) END, 6) AS dup_para_frac,
+       ROUND(CASE WHEN len(w.ws) = 0 THEN 0.0
+             ELSE wmax.mc * 1.0 / len(w.ws) END, 6) AS top_word_frac,
+       ROUND(CASE WHEN len(b.bs) = 0 THEN 0.0
+             ELSE bmax.mc * 1.0 / len(b.bs) END, 6) AS top_bigram_frac
+FROM base
+JOIN l ON l.doc_id = base.doc_id
+JOIN p ON p.doc_id = base.doc_id
+JOIN w ON w.doc_id = base.doc_id
+JOIN b ON b.doc_id = base.doc_id
+LEFT JOIN wmax ON wmax.doc_id = base.doc_id
+LEFT JOIN bmax ON bmax.doc_id = base.doc_id
+"""
+
+
 def _top_terms_sql(k: int = 5) -> str:
     from raptor_rag_spark.tokenizer import TOKEN_PATTERN
 
@@ -1232,15 +1388,13 @@ def _simhash_ctes(bits: int = 48) -> str:
 )"""
 
 
-def _simhash_sql(bits: int = 48) -> str:
-    return f"WITH {_simhash_ctes(bits)}\nSELECT doc_id, simhash FROM sigs"
-
-
-def _simhash_pairs_sql(
+def _simhash_union_sql(
     bits: int = 48, blocks: int = 4, max_hamming: int = 3, max_block_df: int = 1000
 ) -> str:
-    """Mirrors dedup.simhash_pairs_jvm: block pigeonhole candidates
-    (hot buckets capped) + exact popcount verify."""
+    """Mirrors the merged q_simhash: kind='sig' rows straight from the
+    shared sig CTE; kind='pair' rows via dedup.simhash_pairs_jvm's
+    block-pigeonhole candidates (hot buckets capped) + exact popcount
+    verify."""
     width = bits // blocks
     mask = (1 << width) - 1
     vals = ", ".join(f"({bi})" for bi in range(blocks))
@@ -1261,7 +1415,10 @@ blocked AS (
     ON l.block_idx = r.block_idx AND l.block_val = r.block_val
    AND l.doc_id < r.doc_id
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+SELECT 'sig' AS kind, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b, simhash AS val
+FROM sigs
+UNION ALL
+SELECT 'pair' AS kind, id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS val
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
@@ -1479,8 +1636,7 @@ FROM m
 """,
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
-        "simhash_sig": _simhash_sql(),
-        "simhash_pairs": _simhash_pairs_sql(),
+        "simhash": _simhash_union_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "stratified_sample": """
 SELECT doc_id, lang FROM documents
@@ -1677,6 +1833,14 @@ SELECT 'no_orders_nation' AS kind, CAST(c_nationkey AS BIGINT) AS key,
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
+UNION ALL
+SELECT 'latest_per_user' AS kind, CAST(user_id AS BIGINT) AS key,
+       CAST(event_id AS BIGINT) AS n
+FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
 """,
         "asof_join": """
 WITH signup AS (
@@ -1715,7 +1879,9 @@ SELECT id_a, id_b, n_common,
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.3
 """,
-        "self_similarity_tiled": f"""
+        "decontam": _decontam_sql(),
+        "repetition": _repetition_sql(),
+        "embedding_neardup": f"""
 WITH {XY_CTE},
 g AS (
   SELECT vec_id, x, y, {_grid_sql('x', 3)} AS ix, {_grid_sql('y', 3)} AS iy FROM xy
@@ -1742,21 +1908,15 @@ e AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 )
-SELECT id_a, id_b,
-       ROUND(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 6) AS cosine
-FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
-WHERE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) >= 0.35
-""",
-        "embedding_neardup": """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT 'exact' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.35
+UNION ALL
+SELECT 'tiled' AS kind, id_a, id_b,
+       ROUND(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 6) AS cosine
+FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+WHERE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) >= 0.35
 """,
     }
     m.update(pinned_oracle_map())

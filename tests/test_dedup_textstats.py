@@ -265,3 +265,149 @@ def test_resize_images_plumbing(spark):
     assert {r["media_id"]: bytes(r["bytes"]) for r in rows} == again  # deterministic
     with pytest.raises(Exception, match="NotImplementedError|resize_fn"):
         resize_images(media, 64, 64).collect()
+
+
+# ------------------------------------------------- decontamination
+
+
+def test_decontaminate_planted_overlap(spark):
+    from raptor_rag_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark item verbatim -> full overlap
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta trailing text"),
+            # shares a partial run of the benchmark n-grams
+            (2, "alpha beta gamma delta epsilon nothing else here at all"),
+            # unrelated
+            (3, "spark shuffles partitions and broadcast joins for scale"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert 1 in out and out[1]["overlap_frac"] == 1.0
+    assert out[1]["bench_id"] == 900
+    # bench has 6 3-grams; doc 2 covers 3 of them (0.5 -> kept at >=0.5)
+    assert 2 in out and out[2]["n_common"] == 3 and out[2]["sz_bench"] == 6
+    assert 3 not in out
+
+
+def test_decontaminate_null_and_threshold(spark):
+    from raptor_rag_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "one two three four five six")], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, None), (11, "one two three zzz")],
+        "doc_id long, text string",
+    )
+    # NULL text drops out (NULL shingle array -> explode drops the doc);
+    # doc 11 covers 1 of 4 3-grams = 0.25 < 0.6
+    assert decontaminate(docs, bench, n=3, threshold=0.6).count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from raptor_rag_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "one two three four five six")], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "one two three four zzz")], "doc_id long, text string"
+    )
+    plan = decontaminate(docs, bench, n=3, threshold=0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------- keep_latest
+
+
+def test_keep_latest_recrawl(spark):
+    from raptor_rag_spark.operators.dedup import keep_latest
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", 1, "old"),
+        ("u1", "2024-03-01 00:00:00", 2, "new"),
+        ("u2", "2024-02-01 00:00:00", 3, "only"),
+        # equal timestamps -> tie-break keeps the SMALLEST id
+        ("u3", "2024-02-01 00:00:00", 5, "tie-b"),
+        ("u3", "2024-02-01 00:00:00", 4, "tie-a"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts string, fetch_id long, body string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    kept = {r["url"]: r for r in keep_latest(df, ["url"], "ts", tie_cols=["fetch_id"]).collect()}
+    assert kept["u1"]["fetch_id"] == 2 and kept["u1"]["body"] == "new"
+    assert kept["u2"]["fetch_id"] == 3
+    assert kept["u3"]["fetch_id"] == 4
+    # top-1 window limit is pushed map-side (no full-history shuffle)
+    plan = keep_latest(df, ["url"], "ts", tie_cols=["fetch_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+# --------------------------------------------------- repetition
+
+
+def _rep_reference(t):
+    """Independent reference (plain Python, no shared code paths)."""
+    import re
+    from collections import Counter
+
+    if t is None:
+        return None
+    lines = [l for l in t.split("\n") if l != ""]
+    paras = [p for p in t.split("\n\n") if p != ""]
+    words = [w for w in re.split(r"[ \t\n\r\f\x0B]+", t.lower()) if w != ""]
+    bgs = [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
+    return {
+        "n_lines": len(lines),
+        "dup_line_frac": round(1 - len(set(lines)) / len(lines), 6) if lines else 0.0,
+        "n_paras": len(paras),
+        "dup_para_frac": round(1 - len(set(paras)) / len(paras), 6) if paras else 0.0,
+        "top_word_frac": round(Counter(words).most_common(1)[0][1] / len(words), 6) if words else 0.0,
+        "top_bigram_frac": round(Counter(bgs).most_common(1)[0][1] / len(bgs), 6) if bgs else 0.0,
+    }
+
+
+def test_repetition_metrics_reference_parity(spark):
+    from raptor_rag_spark.operators.textstats import repetition_metrics
+
+    texts = [
+        (0, "same line\nsame line\nother line\n\nsame line\nsame line"),
+        (1, "para one\n\npara one\n\npara two"),
+        (2, "the the the the unique"),
+        (3, "a b a b a b a b"),  # bigram 'a b' dominates
+        (4, ""),  # empty -> zeros
+        (5, "   \t  "),  # whitespace-only: no words, one 'line'
+        (6, None),  # NULL -> NULL metrics
+        (7, "Mixed CASE words mixed case WORDS"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(df).collect()}
+    for doc_id, t in texts:
+        ref = _rep_reference(t)
+        if ref is None:
+            assert all(got[doc_id][k] is None for k in
+                       ("n_lines", "dup_line_frac", "n_paras", "dup_para_frac",
+                        "top_word_frac", "top_bigram_frac")), got[doc_id]
+            continue
+        for k, v in ref.items():
+            gv = got[doc_id][k]
+            assert gv == pytest.approx(v, abs=1e-9), (doc_id, k, gv, v)
+
+
+def test_repetition_metrics_map_only_plan(spark):
+    from raptor_rag_spark.operators.textstats import repetition_metrics
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    q = repetition_metrics(df)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one Arrow pass, no shuffle
+    assert "ArrowEvalPython" in plan
