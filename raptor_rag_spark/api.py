@@ -288,6 +288,42 @@ class RaptorEngine:
             rates_pct=rates_pct, default_pct=default_pct,
         )
 
+    def decontaminate(
+        self, docs: DataFrame, benchmark: DataFrame, n: int = 8,
+        threshold: float = 0.5, **kw,
+    ) -> DataFrame:
+        """Flag training docs overlapping a benchmark/eval set by word
+        n-grams (train/test decontamination) — see dedup.decontaminate
+        for the broadcast-benchmark scale shape."""
+        from raptor_rag_spark.operators.dedup import decontaminate
+
+        return decontaminate(docs, benchmark, n=n, threshold=threshold, **kw)
+
+    def quality_signals(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-doc quality features: the length/ratio heuristics
+        (textstats.quality_metrics) joined with the Gopher repetition
+        signals (textstats.repetition_metrics) — the standard web-text
+        filter inputs, both map-only passes."""
+        from raptor_rag_spark.operators.textstats import (
+            quality_metrics,
+            repetition_metrics,
+        )
+
+        id_col = kw.get("id_col", "doc_id")
+        return quality_metrics(docs, **kw).join(
+            repetition_metrics(docs, **kw), id_col
+        )
+
+    def collapse_recrawls(
+        self, pages: DataFrame, key_cols: list[str] | None = None,
+        ts_col: str = "warc_ts", tie_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Keep the newest fetch per url (crawl-ingest dedup, before
+        content dedup) — see dedup.keep_latest."""
+        from raptor_rag_spark.operators.dedup import keep_latest
+
+        return keep_latest(pages, key_cols or ["url"], ts_col, tie_cols=tie_cols)
+
     def quantize_corpus(self, nodes: DataFrame | None = None) -> DataFrame:
         """Int8-quantize the (node_id, embedding) corpus (4x memory/
         scan for retrieval at scale) — see operators/quantize.py; score

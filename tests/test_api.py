@@ -234,3 +234,32 @@ def test_engine_compact_preserves_retrieval(built):
     assert reports[0]["files_after"] < reports[0]["files_before"]
     assert eng.nodes.count() == n_nodes
     assert eng.retrieve(["berber dukkani"], top_k=3, max_tokens=300) == before
+
+
+def test_pipeline_facades(spark, tmp_path_factory):
+    """decontaminate / quality_signals / collapse_recrawls facades."""
+    from raptor_rag_spark.api import RaptorEngine
+
+    eng = RaptorEngine(spark, str(tmp_path_factory.mktemp("facade")))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta padding words here"),
+            (2, "totally unrelated content about joins\nrepeat\nrepeat"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "bench_id long, text string"
+    )
+    hits = eng.decontaminate(docs, bench, n=3, threshold=0.9).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in hits] == [(1, 9)]
+
+    qs = {r["doc_id"]: r for r in eng.quality_signals(docs).collect()}
+    assert qs[2]["dup_line_frac"] > 0 and "quality_score" in qs[1].asDict()
+
+    pages = spark.createDataFrame(
+        [("u", 1, "2024-01-01 00:00:00"), ("u", 2, "2024-06-01 00:00:00")],
+        "url string, fetch_id long, warc_ts string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    kept = eng.collapse_recrawls(pages, tie_cols=["fetch_id"]).collect()
+    assert len(kept) == 1 and kept[0]["fetch_id"] == 2
