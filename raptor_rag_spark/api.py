@@ -299,20 +299,30 @@ class RaptorEngine:
 
         return decontaminate(docs, benchmark, n=n, threshold=threshold, **kw)
 
-    def quality_signals(self, docs: DataFrame, **kw) -> DataFrame:
+    def quality_signals(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
         """Per-doc quality features: the length/ratio heuristics
-        (textstats.quality_metrics) joined with the Gopher repetition
-        signals (textstats.repetition_metrics) — the standard web-text
-        filter inputs, both map-only passes."""
+        (textstats.quality_metrics) plus the Gopher repetition signals
+        (textstats.repetition_metrics) — the standard web-text filter
+        inputs, computed in ONE scan/projection (the repetition kernel
+        rides along as an extra column of the quality select; no second
+        pass over the corpus, no join)."""
         from raptor_rag_spark.operators.textstats import (
+            REPETITION_FRAC_COLS,
+            make_repetition_udf,
             quality_metrics,
-            repetition_metrics,
         )
 
-        id_col = kw.get("id_col", "doc_id")
-        return quality_metrics(docs, **kw).join(
-            repetition_metrics(docs, **kw), id_col
+        rep = make_repetition_udf()
+        m = quality_metrics(
+            docs, text_col=text_col, id_col=id_col,
+            extra=[rep(F.col(text_col)).alias("_m")],
         )
+        m = m.select("*", "_m.*").drop("_m")
+        for c in REPETITION_FRAC_COLS:
+            m = m.withColumn(c, F.round(F.col(c), 6))
+        return m
 
     def collapse_recrawls(
         self, pages: DataFrame, key_cols: list[str] | None = None,

@@ -788,18 +788,28 @@ def decontaminate(
     ngram_jaccard_pairs' max_df approach if you must go short.
     """
     shingler = make_word_shingles_udf(n)
+    # (id, sh) rows are unique by construction: array_distinct dedups
+    # within an item and ids are unique per row (caller contract, same
+    # as every dedup op here) — no global distinct, which would shuffle
+    # the full corpus shingle stream before the broadcast join
     bench_sh = benchmark.select(
         F.col(bench_id_col).alias("bench_id"),
         F.explode(F.array_distinct(shingler(F.col(bench_text_col)))).alias("sh"),
-    ).distinct()
-    sizes = bench_sh.groupBy("bench_id").agg(F.count("*").alias("sz_bench"))
+    )
+    # |shingles(bench)| in one map pass — no explode/shuffle
+    sizes = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.size(F.array_distinct(shingler(F.col(bench_text_col))))
+        .cast("long")
+        .alias("sz_bench"),
+    )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
         sizes = F.broadcast(sizes)
     doc_sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingler(F.col(text_col)))).alias("sh"),
-    ).distinct()
+    )
     hits = (
         doc_sh.join(bench_sh, "sh")
         .groupBy("doc_id", "bench_id")
@@ -844,8 +854,11 @@ def keep_latest(
 
     order = [F.col(ts_col).desc()] + [F.col(c).asc() for c in (tie_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    rn = "_rn"
+    while rn in df.columns:  # never clobber a caller column
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )

@@ -70,13 +70,23 @@ def lang_id(col: Column) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
-def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra: list[Column] | None = None,
+) -> DataFrame:
     """Per-doc quality features: lengths, ratios, token stats, score.
 
     Score formula (deterministic, documented): starts at 1, penalized
     for extreme length, low alpha ratio, high digit/punct ratio, low
     mean word length — the usual web-text quality heuristics
-    (Gopher/C4-style rules, public)."""
+    (Gopher/C4-style rules, public).
+
+    ``extra`` columns are appended to the output projection — the hook
+    that lets api.quality_signals compute these metrics AND the
+    repetition kernel in ONE scan/projection (no second pass, no
+    join)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     words = words_col(t)
@@ -114,6 +124,7 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.when(t.isNull(), F.lit(0.0)).otherwise(F.greatest(score, F.lit(0.0))),
             6,
         ).alias("quality_score"),
+        *(extra or []),
     )
 
 
@@ -365,6 +376,13 @@ def make_lang_id_udf():
     return lid
 
 
+REPETITION_FRAC_COLS = (
+    "dup_line_frac",
+    "dup_para_frac",
+    "top_word_frac",
+    "top_bigram_frac",
+)
+
 REPETITION_SCHEMA = T.StructType(
     [
         T.StructField("n_lines", T.IntegerType()),
@@ -444,6 +462,6 @@ def repetition_metrics(
     rep = make_repetition_udf()
     m = df.select(F.col(id_col), rep(F.col(text_col)).alias("_m"))
     m = m.select(id_col, "_m.*")
-    for c in ("dup_line_frac", "dup_para_frac", "top_word_frac", "top_bigram_frac"):
+    for c in REPETITION_FRAC_COLS:
         m = m.withColumn(c, F.round(F.col(c), 6))
     return m

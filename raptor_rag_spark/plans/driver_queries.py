@@ -476,9 +476,16 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     words = F.split(normalized_text(F.col("text")), " ")
-    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 3).select(
-        F.col("doc_id").alias("bench_id"),
-        F.concat_ws(" ", F.slice(words, 1, DECONTAM_PREFIX_WORDS)).alias("text"),
+    # text-not-NULL mirrors the oracle's w CTE: a NULL-text bench doc
+    # would otherwise become text '' here (concat_ws never returns
+    # NULL) while the oracle drops it
+    bench = (
+        docs.filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id") % DECONTAM_MOD == 3)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.slice(words, 1, DECONTAM_PREFIX_WORDS)).alias("text"),
+        )
     )
     return decontaminate(
         docs, bench, n=DECONTAM_N, threshold=DECONTAM_THRESHOLD
@@ -1253,9 +1260,13 @@ def _decontam_sql() -> str:
     bparts = ", ".join(f"bw[i+{j}]" for j in range(n))
     return f"""
 WITH w AS (
+  -- text IS NOT NULL mirrors the engine kernel, which yields a NULL
+  -- shingle array for NULL text (explode drops the doc); without the
+  -- filter DuckDB's greatest(NULL-4,1)=1 + concat_ws-skips-NULLs
+  -- would materialize a '' shingle for NULL-text docs
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS words
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), bench AS (
   SELECT doc_id AS bench_id, array_to_string(words[1:{DECONTAM_PREFIX_WORDS}], ' ') AS btext
   FROM w WHERE doc_id % {DECONTAM_MOD} = 3

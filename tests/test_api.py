@@ -263,3 +263,19 @@ def test_pipeline_facades(spark, tmp_path_factory):
     ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
     kept = eng.collapse_recrawls(pages, tie_cols=["fetch_id"]).collect()
     assert len(kept) == 1 and kept[0]["fetch_id"] == 2
+
+
+def test_quality_signals_single_pass_plan(spark, tmp_path_factory):
+    """Review regression: quality + repetition compute in ONE map-only
+    projection — no join, no Exchange, one Arrow operator."""
+    from raptor_rag_spark.api import RaptorEngine
+
+    eng = RaptorEngine(spark, str(tmp_path_factory.mktemp("qs")))
+    docs = spark.createDataFrame([(1, "a b a b\nline\nline")], "doc_id long, text string")
+    q = eng.quality_signals(docs)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    row = q.collect()[0]
+    # 3 lines, 2 distinct -> 1 - 2/3
+    assert row["quality_score"] is not None and row["dup_line_frac"] == 0.333333

@@ -411,3 +411,33 @@ def test_repetition_metrics_map_only_plan(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # one Arrow pass, no shuffle
     assert "ArrowEvalPython" in plan
+
+
+def test_decontaminate_single_shuffle_plan(spark):
+    """Review regression: the corpus side must flow into the broadcast
+    probe with NO shuffle — the only Exchange is the (doc,bench)
+    partial-agg count."""
+    from raptor_rag_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "one two three four five six")], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "one two three four zzz")], "doc_id long, text string"
+    )
+    plan = decontaminate(docs, bench, n=3, threshold=0.1)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+
+
+def test_keep_latest_preserves_caller_rn_column(spark):
+    """Review regression: a pre-existing '_rn' column must survive."""
+    from raptor_rag_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame(
+        [("u", 1, "2024-01-01 00:00:00", 7), ("u", 2, "2024-06-01 00:00:00", 9)],
+        "url string, fetch_id long, ts string, _rn long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = keep_latest(df, ["url"], "ts", tie_cols=["fetch_id"]).collect()
+    assert len(out) == 1 and out[0]["_rn"] == 9
