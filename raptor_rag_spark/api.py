@@ -334,6 +334,18 @@ class RaptorEngine:
 
         return keep_latest(pages, key_cols or ["url"], ts_col, tie_cols=tie_cols)
 
+    def export_training_order(
+        self, docs: DataFrame, out_dir: str, seed: int,
+        shards: int = 64, id_col: str = "doc_id",
+    ) -> None:
+        """Write docs in a deterministic pseudo-random global order
+        (seeded hash permutation, one shuffle, per-shard sorted files)
+        — the reproducible corpus shuffle a training run reads. See
+        sources/training_export.py."""
+        from raptor_rag_spark.sources.training_export import write_shuffled_export
+
+        write_shuffled_export(docs, out_dir, seed=seed, shards=shards, id_col=id_col)
+
     def quantize_corpus(self, nodes: DataFrame | None = None) -> DataFrame:
         """Int8-quantize the (node_id, embedding) corpus (4x memory/
         scan for retrieval at scale) — see operators/quantize.py; score
