@@ -334,6 +334,26 @@ class RaptorEngine:
 
         return keep_latest(pages, key_cols or ["url"], ts_col, tie_cols=tie_cols)
 
+    def pack_training_sequences(
+        self, chunks: DataFrame, max_tokens: int, seed: int = 0, **kw
+    ) -> DataFrame:
+        """Pack chunk rows into fixed-token-budget training sequences
+        (sample packing) — deterministic sharded greedy fill; see
+        operators/chunk.pack_sequences."""
+        from raptor_rag_spark.operators.chunk import pack_sequences
+
+        return pack_sequences(chunks, max_tokens=max_tokens, seed=seed, **kw)
+
+    def cap_domains(
+        self, docs: DataFrame, cap: int, stratum_col: str = "source", **kw
+    ) -> DataFrame:
+        """Cap any one domain/source/lang at ``cap`` docs by a
+        deterministic seeded-hash rank (domain balancing) — see
+        textstats.cap_per_stratum."""
+        from raptor_rag_spark.operators.textstats import cap_per_stratum
+
+        return cap_per_stratum(docs, cap=cap, stratum_col=stratum_col, **kw)
+
     def export_training_order(
         self, docs: DataFrame, out_dir: str, seed: int,
         shards: int = 64, id_col: str = "doc_id",

@@ -164,3 +164,79 @@ def chunk_documents(
     else:
         raise ValueError(f"unknown id_scheme {id_scheme!r} (use 'arith' or 'hash')")
     return chunks.withColumn("chunk_id", cid)
+
+
+# ------------------------------------------------- sequence packing
+
+def pack_sequences(
+    chunks: DataFrame,
+    max_tokens: int,
+    seed: int = 0,
+    shards: int | None = None,
+    id_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Pack chunks into fixed-token-budget training sequences (sample
+    packing, public practice — concatenate shuffled samples and cut at
+    the context length so padding waste vanishes).
+
+    Global greedy packing is inherently sequential, so the scale
+    recipe shards first: each chunk is routed to one of ``shards``
+    groups by a seeded hash of its id (same permutation idea as
+    training_export — deterministic, layout-independent), then ONE
+    pandas group per shard walks its chunks in hash order and cuts a
+    new sequence whenever the running token sum would exceed
+    ``max_tokens``. Sequences never cross shards; a chunk longer than
+    the budget becomes its own (oversized) sequence — flagged, not
+    dropped, matching how packers surface must-truncate samples.
+
+    Returns the input columns plus (seq_id, seq_pos, _shard):
+    seq_id = shard * 2^40 + index-within-shard (collision-free while
+    a shard packs < 2^40 sequences), seq_pos = position within the
+    sequence. Plan: one hash exchange on the shard id; each pandas
+    group holds ~|corpus|/shards rows — size ``shards`` so a group
+    fits an executor (default: 32 x defaultParallelism).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    spark = chunks.sparkSession
+    if shards is None:
+        shards = 32 * spark.sparkContext.defaultParallelism
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    df = chunks.withColumn("_key", key).withColumn(
+        "_shard", F.pmod(F.col("_key"), F.lit(shards)).cast("int")
+    )
+
+    out_schema = df.drop("_key").schema
+    from pyspark.sql import types as T
+
+    fields = list(out_schema.fields)  # copy: StructType.add mutates
+    out_schema = T.StructType(
+        fields
+        + [T.StructField("seq_id", T.LongType()), T.StructField("seq_pos", T.IntegerType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_key", id_col], kind="mergesort").reset_index(drop=True)
+        shard = int(pdf["_shard"].iloc[0])
+        seq_base = shard << 40
+        seq_idx, pos, budget = 0, 0, 0
+        seq_ids, seq_positions = [], []
+        for t in pdf[tokens_col].astype("int64"):
+            t = int(t)
+            if pos > 0 and budget + t > max_tokens:
+                seq_idx += 1
+                pos, budget = 0, 0
+            seq_ids.append(seq_base + seq_idx)
+            seq_positions.append(pos)
+            pos += 1
+            budget += t
+            if budget >= max_tokens:  # full (or oversized single) — cut
+                seq_idx += 1
+                pos, budget = 0, 0
+        pdf = pdf.drop(columns=["_key"])
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_pos"] = pd.Series(seq_positions, dtype="int32")
+        return pdf
+
+    return df.groupBy("_shard").applyInPandas(pack, out_schema)

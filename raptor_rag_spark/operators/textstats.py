@@ -465,3 +465,34 @@ def repetition_metrics(
     for c in REPETITION_FRAC_COLS:
         m = m.withColumn(c, F.round(F.col(c), 6))
     return m
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    cap: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Cap each stratum (domain/source/lang) at ``cap`` rows by a
+    deterministic seeded-hash rank — domain balancing, the standard
+    web-corpus guard against one hot domain dominating the training
+    mix (public practice in Common-Crawl pipeline writeups).
+
+    Deterministic: the kept set is a pure function of (ids, seed) —
+    repartition-invariant, and stable under appends of OTHER strata.
+    Plan: one shuffle on the stratum + WindowGroupLimit (Spark pushes
+    rank<=cap map-side, so the shuffle carries at most cap rows per
+    (stratum, input partition), never the hot domain's full history —
+    the same top-k shape as keep_latest/topk_per_group).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    rank_key = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    rn = "_cap_rn"
+    while rn in df.columns:
+        rn += "_"
+    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= cap).drop(rn)

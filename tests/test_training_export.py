@@ -92,3 +92,97 @@ def test_read_shuffled_export_global_order(spark, docs, tmp_path):
     keys = [(r["_shard"], r["_shuffle_key"]) for r in rows]
     assert keys == sorted(keys)
     assert sorted(r["doc_id"] for r in rows) == list(range(500))
+
+
+# --------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_budget_and_totality(spark):
+    from raptor_rag_spark.operators.chunk import pack_sequences
+
+    chunks = spark.range(0, 300).select(
+        F.col("id").alias("chunk_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(90)) + 10).cast("int").alias("n_tokens"),
+    )
+    out = pack_sequences(chunks, max_tokens=128, seed=1, shards=8).collect()
+    assert sorted(r["chunk_id"] for r in out) == list(range(300))
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq_id, rows in by_seq.items():
+        total = sum(r["n_tokens"] for r in rows)
+        # budget holds except oversized singletons (none here: max 99)
+        assert total <= 128, (seq_id, total)
+        assert sorted(r["seq_pos"] for r in rows) == list(range(len(rows)))
+        # a sequence never crosses shards
+        assert len({r["_shard"] for r in rows}) == 1
+
+
+def test_pack_sequences_deterministic_across_layouts(spark):
+    from raptor_rag_spark.operators.chunk import pack_sequences
+
+    chunks = spark.range(0, 200).select(
+        F.col("id").alias("chunk_id"),
+        (F.pmod(F.col("id"), F.lit(50)) + 1).cast("int").alias("n_tokens"),
+    )
+    a = pack_sequences(chunks, max_tokens=64, seed=2, shards=4)
+    b = pack_sequences(chunks.repartition(17), max_tokens=64, seed=2, shards=4)
+    ka = {(r["chunk_id"], r["seq_id"], r["seq_pos"]) for r in a.collect()}
+    kb = {(r["chunk_id"], r["seq_id"], r["seq_pos"]) for r in b.collect()}
+    assert ka == kb
+
+
+def test_pack_sequences_oversized_chunk_isolated(spark):
+    from raptor_rag_spark.operators.chunk import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 10), (2, 500), (3, 10)], "chunk_id long, n_tokens int"
+    )
+    out = pack_sequences(chunks, max_tokens=100, seed=0, shards=1).collect()
+    seq_of = {r["chunk_id"]: r["seq_id"] for r in out}
+    # the 500-token chunk sits alone in its sequence
+    assert sum(1 for r in out if r["seq_id"] == seq_of[2]) == 1
+
+
+def test_pack_sequences_real_chunks(spark):
+    """End-to-end on real testdata: chunk sf0.001 docs then pack."""
+    from raptor_rag_spark.operators.chunk import chunk_documents, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=60)
+    n = chunks.count()
+    packed = pack_sequences(chunks, max_tokens=256, seed=7, shards=8)
+    rows = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    ).collect()
+    assert sum(r["n"] for r in rows) == n
+    assert all(r["tot"] <= 256 or r["n"] == 1 for r in rows)
+    # packing actually packs: far fewer sequences than chunks
+    assert len(rows) < n / 2
+
+
+# --------------------------------------------------- per-stratum cap
+
+
+def test_cap_per_stratum(spark):
+    from raptor_rag_spark.operators.textstats import cap_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 90 else f"cold{i}") for i in range(100)],
+        "doc_id long, source string",
+    )
+    capped = cap_per_stratum(df, cap=10, stratum_col="source", seed=3)
+    counts = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["hot"] == 10
+    assert all(v == 1 for k, v in counts.items() if k != "hot")
+    # deterministic + repartition-invariant kept set
+    k1 = {r["doc_id"] for r in capped.collect()}
+    k2 = {r["doc_id"] for r in cap_per_stratum(df.repartition(13), cap=10, stratum_col="source", seed=3).collect()}
+    assert k1 == k2
+    # stable under appends of OTHER strata
+    df2 = df.union(spark.createDataFrame([(1000, "new")], "doc_id long, source string"))
+    k3 = {r["doc_id"] for r in cap_per_stratum(df2, cap=10, stratum_col="source", seed=3).collect()}
+    assert k1 | {1000} == k3
+    # WindowGroupLimit plan (map-side top-cap)
+    plan = cap_per_stratum(df, cap=10, stratum_col="source", seed=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
