@@ -766,6 +766,45 @@ def main() -> None:
 
     timed("knn_brute_quantized_1000q", _knn_brute_quantized)
 
+    # ---- training-pipeline slots: export order, packing, domain cap
+    pipe_holder: dict = {}
+
+    def _training_export():
+        import shutil
+        import tempfile
+
+        from raptor_rag_spark.sources.training_export import write_shuffled_export
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pipe_holder["export_docs"] = docs.count()
+        out = tempfile.mkdtemp(prefix="bench_export_")
+        try:
+            write_shuffled_export(docs, out + "/x", seed=7, shards=32)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    timed("training_export", _training_export)
+
+    def _pack_sequences():
+        from raptor_rag_spark.operators.chunk import chunk_documents, pack_sequences
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        chunks = chunk_documents(docs, max_tokens=60)
+        packed = pack_sequences(chunks, max_tokens=512, seed=7, shards=64)
+        pipe_holder["packed_chunks"] = packed.count()
+
+    timed("pack_sequences", _pack_sequences)
+
+    def _cap_domains():
+        from raptor_rag_spark.operators.textstats import cap_per_stratum
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        cap_per_stratum(docs, cap=100, stratum_col="source").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("cap_domains", _cap_domains)
+
     total = round(time.time() - t_total0, 3)
     build_t = timings["build_pipeline"]
     knn_t = timings["knn_tiled_1000q"]
@@ -805,6 +844,12 @@ def main() -> None:
             "ivf_store_bytes_int8_over_float": recall_holder.get("ivf_bytes_ratio"),
             "incremental_scattered_recompute_frac": tree_holder.get("scattered_frac"),
             "incremental_clustered_recompute_frac": tree_holder.get("clustered_frac"),
+            "export_docs_per_sec": round(
+                pipe_holder.get("export_docs", 0) / timings["training_export"], 2
+            ),
+            "pack_chunks_per_sec": round(
+                pipe_holder.get("packed_chunks", 0) / timings["pack_sequences"], 2
+            ),
             "incremental_clustered_rows": tree_holder.get("clustered_rows"),
         },
     }
