@@ -769,21 +769,22 @@ def main() -> None:
     # ---- training-pipeline slots: export order, packing, domain cap
     pipe_holder: dict = {}
 
-    def _training_export():
-        import shutil
-        import tempfile
+    # count + tmpdir setup OUTSIDE the timed block: the slot (and the
+    # export_docs_per_sec field) must time ONLY the export write
+    import shutil as _shutil
+    import tempfile as _tempfile
 
+    _export_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pipe_holder["export_docs"] = _export_docs.count()
+    _export_dir = _tempfile.mkdtemp(prefix="bench_export_")
+
+    def _training_export():
         from raptor_rag_spark.sources.training_export import write_shuffled_export
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        pipe_holder["export_docs"] = docs.count()
-        out = tempfile.mkdtemp(prefix="bench_export_")
-        try:
-            write_shuffled_export(docs, out + "/x", seed=7, shards=32)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
+        write_shuffled_export(_export_docs, _export_dir + "/x", seed=7, shards=32)
 
     timed("training_export", _training_export)
+    _shutil.rmtree(_export_dir, ignore_errors=True)
 
     def _pack_sequences():
         from raptor_rag_spark.operators.chunk import chunk_documents, pack_sequences

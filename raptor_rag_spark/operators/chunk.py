@@ -187,8 +187,9 @@ def pack_sequences(
     pandas group per shard walks its chunks in hash order and cuts a
     new sequence whenever the running token sum would exceed
     ``max_tokens``. Sequences never cross shards; a chunk longer than
-    the budget becomes its own (oversized) sequence — flagged, not
-    dropped, matching how packers surface must-truncate samples.
+    the budget becomes its own SINGLETON sequence — isolated, never
+    dropped or truncated (detect must-truncate samples as sequences
+    whose single row exceeds the budget).
 
     Returns the input columns plus (seq_id, seq_pos, _shard):
     seq_id = shard * 2^40 + index-within-shard (collision-free while
@@ -199,6 +200,16 @@ def pack_sequences(
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    # _shard / seq_id / seq_pos are output-contract names and _key is
+    # the working column — refuse inputs that already carry them
+    # (silent clobber or a duplicate-field schema otherwise; e.g.
+    # re-packing packer output or shuffled_export_plan rows)
+    reserved = {"_key", "_shard", "seq_id", "seq_pos"} & set(chunks.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(reserved)} — "
+            "drop or rename them before pack_sequences"
+        )
     spark = chunks.sparkSession
     if shards is None:
         shards = 32 * spark.sparkContext.defaultParallelism

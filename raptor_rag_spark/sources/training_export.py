@@ -75,16 +75,26 @@ def write_shuffled_export(
     plan.write.mode("overwrite").partitionBy("_shard").parquet(out_dir)
 
 
-def read_shuffled_export(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_shuffled_export(
+    spark: SparkSession, out_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
     """Read an export in its global training order (shard, key, id).
 
-    The ORDER BY here is for consumers that want one ordered stream
-    through Spark; a trainer normally reads shard dirs directly in
-    shard order (each file is already sorted) and never pays a sort.
+    ``id_col`` must be the id the export was written with — it is the
+    key-collision tie-break, so a different column would replay a
+    different order than the on-disk file order exactly in the case
+    the tie-break exists for. The ORDER BY here is for consumers that
+    want one ordered stream through Spark; a trainer normally reads
+    shard dirs directly in shard order (each file is already sorted)
+    and never pays a sort.
     """
     df = spark.read.parquet(out_dir)
-    id_col = [c for c in df.columns if c not in ("_shuffle_key", "_shard")]
-    return df.orderBy("_shard", "_shuffle_key", *id_col[:1])
+    if id_col not in df.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in export columns {df.columns} — pass the "
+            "id the export was written with"
+        )
+    return df.orderBy("_shard", "_shuffle_key", id_col)
 
 
 def export_shard_paths(out_dir: str) -> list[str]:

@@ -82,7 +82,12 @@ def test_export_plan_single_exchange(spark, docs):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan  # no runtime-sampled ranges
-    assert "Sort " not in plan.split("Exchange")[0] or True  # sort is map-side
+    # the sort is partition-local (global=false in the Sort operator),
+    # never a global sort
+    import re
+
+    assert re.search(r"Sort \[[^\]]*\], false,", plan), plan
+    assert not re.search(r"Sort \[[^\]]*\], true,", plan), plan
 
 
 def test_read_shuffled_export_global_order(spark, docs, tmp_path):
@@ -186,3 +191,18 @@ def test_cap_per_stratum(spark):
     # WindowGroupLimit plan (map-side top-cap)
     plan = cap_per_stratum(df, cap=10, stratum_col="source", seed=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_rejects_reserved_columns(spark):
+    from raptor_rag_spark.operators.chunk import pack_sequences
+
+    df = spark.createDataFrame([(1, 5, 0)], "chunk_id long, n_tokens int, seq_id long")
+    with pytest.raises(ValueError, match="reserved"):
+        pack_sequences(df, max_tokens=10, shards=1)
+
+
+def test_read_shuffled_export_rejects_wrong_id(spark, docs, tmp_path):
+    out = str(tmp_path / "wid")
+    write_shuffled_export(docs, out, seed=1, shards=2)
+    with pytest.raises(ValueError, match="id_col"):
+        read_shuffled_export(spark, out, id_col="nope")
