@@ -327,11 +327,20 @@ class RaptorEngine:
     def collapse_recrawls(
         self, pages: DataFrame, key_cols: list[str] | None = None,
         ts_col: str = "warc_ts", tie_cols: list[str] | None = None,
+        canonicalize_urls: bool = False,
     ) -> DataFrame:
         """Keep the newest fetch per url (crawl-ingest dedup, before
-        content dedup) — see dedup.keep_latest."""
+        content dedup) — see dedup.keep_latest. With
+        ``canonicalize_urls`` the key is the canonical URL
+        (extract.canonical_url: case/port/fragment/tracking-param
+        normalization), so trivially-varying fetches of one page
+        collapse too; the original lands in ``raw_url``."""
         from raptor_rag_spark.operators.dedup import keep_latest
 
+        if canonicalize_urls:
+            from raptor_rag_spark.operators.extract import canonicalize_pages
+
+            pages = canonicalize_pages(pages, url_col=(key_cols or ["url"])[0])
         return keep_latest(pages, key_cols or ["url"], ts_col, tie_cols=tie_cols)
 
     def pack_training_sequences(

@@ -104,3 +104,56 @@ def extract_pages(
 
     cols = [url_col, *passthrough, html_col]
     return pages.select(*cols).mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------ URL canonicalization
+
+def canonical_url(col):
+    """Canonical form of a crawl URL, pure JVM (codegen'd regexps —
+    runs at scan speed, no Python): the recrawl-collapse key for
+    keep_latest when the same page is fetched under trivially-varying
+    URLs. Conservative, documented normalizations only (public
+    practice from crawl-dedup writeups):
+
+    1. scheme and host lowercased (RFC 3986: both case-insensitive)
+    2. fragment stripped (never sent to the server)
+    3. default ports dropped (:80 for http, :443 for https)
+    4. utm_* / fbclid / gclid tracking params dropped, separators
+       repaired (a dropped first param promotes the next '&' to '?')
+    5. trailing '/' dropped (including the bare root slash — RFC 3986
+       equates an empty path with '/')
+    NOT done (identity-changing): www-stripping, param reordering,
+    percent-decoding. NULL propagates.
+    """
+    from pyspark.sql import functions as F
+
+    u = col
+    prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.when(prefix != "", F.concat(F.lower(prefix), tail)).otherwise(u)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(?=[/?#]|$)", r"$1")
+    # ordered three-step drop keeps separators exact (a blanket
+    # '[?&]param' drop + blind '&'->'?' promotion would corrupt a
+    # legal unencoded '&' in the PATH, e.g. http://h/a&b):
+    trk = r"(utm_[A-Za-z0-9_]*|fbclid|gclid)"
+    # (a) non-first tracking params, with their '&'
+    u = F.regexp_replace(u, r"&" + trk + r"=[^&#]*", "")
+    # (b) a first tracking param with a successor: '?utm..=v&' -> '?'
+    u = F.regexp_replace(u, r"\?" + trk + r"=[^&#]*&", "?")
+    # (c) a lone first tracking param: '?utm..=v' at end -> ''
+    u = F.regexp_replace(u, r"\?" + trk + r"=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"([^/])/(?=$|[?#])", r"$1")
+    return u
+
+
+def canonicalize_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """pages with `url` replaced by its canonical form (the recrawl
+    key) and the original kept as `raw_url` — map-only, codegen'd."""
+    from pyspark.sql import functions as F
+
+    return pages.withColumn("raw_url", F.col(url_col)).withColumn(
+        url_col, canonical_url(F.col(url_col))
+    )

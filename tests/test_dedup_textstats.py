@@ -441,3 +441,25 @@ def test_keep_latest_preserves_caller_rn_column(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = keep_latest(df, ["url"], "ts", tie_cols=["fetch_id"]).collect()
     assert len(out) == 1 and out[0]["_rn"] == 9
+
+
+def test_decontaminate_no_broadcast_parity(spark):
+    """The scale path when the benchmark is NOT broadcastable (huge
+    eval-set unions): plain hash join, identical results."""
+    from raptor_rag_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta"),
+         (901, "one two three four five six seven")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+         (2, "one two three four nothing else"),
+         (3, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, decontaminate(docs, bench, n=3, threshold=0.4).collect()))
+    b = sorted(map(tuple, decontaminate(docs, bench, n=3, threshold=0.4,
+                                        broadcast_benchmark=False).collect()))
+    assert a == b and len(a) >= 2

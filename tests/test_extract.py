@@ -84,3 +84,56 @@ def test_extract_column_pruning(spark, tmp_path_factory):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"url", "html"}, cols
+
+
+def test_canonical_url_cases(spark):
+    from raptor_rag_spark.operators.extract import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        # scheme/host case, fragment, default port
+        ("HTTP://Example.COM:80/Path#frag", "http://example.com/Path"),
+        ("https://Ex.com:443/a/", "https://ex.com/a"),
+        # non-default port kept, path case kept
+        ("http://ex.com:8080/A/B/", "http://ex.com:8080/A/B"),
+        # tracking params: first with successor, non-first, lone
+        ("http://ex.com/p?utm_source=x&k=1", "http://ex.com/p?k=1"),
+        ("http://ex.com/p?k=1&utm_source=x", "http://ex.com/p?k=1"),
+        ("http://ex.com/p?fbclid=abc", "http://ex.com/p"),
+        ("http://ex.com/p?utm_a=1&utm_b=2&k=3", "http://ex.com/p?k=3"),
+        # legal unencoded '&' in the PATH must survive untouched
+        ("http://ex.com/a&b", "http://ex.com/a&b"),
+        # root slash equated with empty path; bare '?' dropped
+        ("http://ex.com/", "http://ex.com"),
+        ("http://ex.com/p?", "http://ex.com/p"),
+        # non-tracking params and their order preserved
+        ("http://ex.com/p?b=2&a=1", "http://ex.com/p?b=2&a=1"),
+        # NULL propagates
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonicalize_pages_then_keep_latest(spark):
+    """The crawl-ingest pair: canonical url as the recrawl key."""
+    from raptor_rag_spark.operators.dedup import keep_latest
+    from raptor_rag_spark.operators.extract import canonicalize_pages
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("HTTP://Ex.com/a?utm_source=feed", "2024-01-01 00:00:00", 1),
+            ("http://ex.com/a", "2024-06-01 00:00:00", 2),
+            ("http://ex.com/b", "2024-01-01 00:00:00", 3),
+        ],
+        "url string, warc_ts string, fetch_id long",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    canon = canonicalize_pages(pages)
+    kept = keep_latest(canon, ["url"], "warc_ts", tie_cols=["fetch_id"])
+    rows = {r["url"]: r for r in kept.collect()}
+    assert set(rows) == {"http://ex.com/a", "http://ex.com/b"}
+    assert rows["http://ex.com/a"]["fetch_id"] == 2
+    assert rows["http://ex.com/a"]["raw_url"] == "http://ex.com/a"
