@@ -134,16 +134,20 @@ def canonical_url(col):
     u = F.regexp_replace(u, r"#.*$", "")
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(?=[/?#]|$)", r"$1")
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(?=[/?#]|$)", r"$1")
-    # ordered three-step drop keeps separators exact (a blanket
-    # '[?&]param' drop + blind '&'->'?' promotion would corrupt a
-    # legal unencoded '&' in the PATH, e.g. http://h/a&b):
+    # tracking-param drop, scoped to the QUERY part only (split at the
+    # first '?') so a legal unencoded '&' or '&utm_x=' segment in the
+    # PATH can never be touched; the ordered three-step drop keeps
+    # separators exact:
     trk = r"(utm_[A-Za-z0-9_]*|fbclid|gclid)"
+    pre = F.regexp_extract(u, r"^([^?]*)", 1)
+    qry = F.regexp_replace(u, r"^[^?]*", "")  # '?...' or ''
     # (a) non-first tracking params, with their '&'
-    u = F.regexp_replace(u, r"&" + trk + r"=[^&#]*", "")
+    qry = F.regexp_replace(qry, r"&" + trk + r"=[^&#]*", "")
     # (b) a first tracking param with a successor: '?utm..=v&' -> '?'
-    u = F.regexp_replace(u, r"\?" + trk + r"=[^&#]*&", "?")
-    # (c) a lone first tracking param: '?utm..=v' at end -> ''
-    u = F.regexp_replace(u, r"\?" + trk + r"=[^&#]*$", "")
+    qry = F.regexp_replace(qry, r"^\?" + trk + r"=[^&#]*&", "?")
+    # (c) a lone first tracking param: '?utm..=v' -> ''
+    qry = F.regexp_replace(qry, r"^\?" + trk + r"=[^&#]*$", "")
+    u = F.concat(pre, qry)
     u = F.regexp_replace(u, r"\?$", "")
     u = F.regexp_replace(u, r"([^/])/(?=$|[?#])", r"$1")
     return u

@@ -103,6 +103,10 @@ def test_canonical_url_cases(spark):
         ("http://ex.com/p?utm_a=1&utm_b=2&k=3", "http://ex.com/p?k=3"),
         # legal unencoded '&' in the PATH must survive untouched
         ("http://ex.com/a&b", "http://ex.com/a&b"),
+        # even a param-LOOKING path segment (drops are query-scoped)
+        ("http://ex.com/a&utm_x=1/b?k=1", "http://ex.com/a&utm_x=1/b?k=1"),
+        # only tracking params -> query gone entirely
+        ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p"),
         # root slash equated with empty path; bare '?' dropped
         ("http://ex.com/", "http://ex.com"),
         ("http://ex.com/p?", "http://ex.com/p"),
