@@ -654,12 +654,12 @@ def main() -> None:
         "pip",
         "dedup_exact",
         "ngram_jaccard",
-        "minhash_pairs",
+        "minhash",
         "quality",
         "lang_id",
         "sessionize",
         "tumbling_window",
-        "topk_per_group",
+        "topk",
         "running_budget",
         "join_agg",
         "embedding_neardup",
@@ -667,8 +667,6 @@ def main() -> None:
         "fingerprint",
         "pages_month",
         "range_join",
-        "global_topn",
-        "minhash_sig",
         "catalog_snapshots",
         "approx_distinct",
     )

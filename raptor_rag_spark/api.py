@@ -324,6 +324,43 @@ class RaptorEngine:
             m = m.withColumn(c, F.round(F.col(c), 6))
         return m
 
+    def scrub_pii(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Redact emails / IPv4s / phone numbers and add per-kind
+        counts (operators/pii.py) — pure JVM regexp, map-only, runs at
+        scan speed; the standard pre-training PII scrub."""
+        from raptor_rag_spark.operators.pii import scrub_pii
+
+        return scrub_pii(docs, text_col=text_col)
+
+    def lm_quality_scores(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        top_v: int | None = None,
+        counts: DataFrame | None = None,
+    ) -> DataFrame:
+        """CCNet-style unigram-LM negative-log-likelihood per doc
+        (textstats.lm_doc_scores): high = far from the reference
+        distribution. Pass `counts` trained on a held-out reference
+        corpus to reproduce CCNet exactly; set `top_v` on large
+        corpora for the broadcast-vocab scale path."""
+        from raptor_rag_spark.operators.textstats import lm_doc_scores
+
+        return lm_doc_scores(
+            docs, text_col=text_col, id_col=id_col, top_v=top_v, counts=counts
+        )
+
+    def dedup_paragraphs(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """C4-style corpus-wide exact line dedup: every non-blank line
+        kept only at its first (id, line_idx) occurrence — see
+        dedup.dedup_paragraphs for the three-partial-agg scale shape."""
+        from raptor_rag_spark.operators.dedup import dedup_paragraphs
+
+        return dedup_paragraphs(docs, id_col=id_col, text_col=text_col)
+
     def collapse_recrawls(
         self, pages: DataFrame, key_cols: list[str] | None = None,
         ts_col: str = "warc_ts", tie_cols: list[str] | None = None,

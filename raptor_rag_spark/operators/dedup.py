@@ -862,3 +862,71 @@ def keep_latest(
         .filter(F.col(rn) == 1)
         .drop(rn)
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style corpus-wide exact paragraph (line) dedup: every
+    non-blank line that occurs anywhere else in the corpus is kept
+    ONLY at its first occurrence — first = smallest (id, line_idx) —
+    and dropped everywhere else; blank lines never participate (they
+    are layout, not content). The public C4 pipeline (Raffel et al.
+    2020, §2.2) removes repeated three-sentence spans the same way;
+    lines are the Dolma/RefinedWeb variant.
+
+    Output: one row per input doc — (id_col, n_lines, n_kept,
+    text_md5) where text_md5 hashes the doc rebuilt from its kept
+    lines joined with "\\n" (NULL when every line was dropped).
+
+    Scale shape (three partial-agg shuffles, no all-pairs, text
+    shuffles at line granularity):
+      1. winner per distinct line: groupBy(line) -> min(struct(id,
+         idx)). Map-side combine reduces each partition to one row per
+         DISTINCT line before the exchange, so the corpus's boilerplate
+         skew (one hot nav-bar line in 10^9 docs) shuffles as one row
+         per partition, not 10^9.
+      2. kept-marking join on the line value — same key as (1), and
+         the winner side carries (line, id, idx) only.
+      3. per-doc reassembly agg on id_col (sort_array over struct
+         (idx, line) -> concat_ws), partial too.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    blank = F.trim(F.col("line")) == ""
+    content = lines.filter(~blank)
+    winners = content.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("_first")
+    )
+    kept_content = (
+        content.join(winners, "line")
+        .filter(
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.line_idx") == F.col("line_idx"))
+        )
+        .drop("_first")
+    )
+    kept = kept_content.unionByName(lines.filter(blank))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("line_idx"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("text_md5"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "text_md5",
+    )

@@ -496,3 +496,107 @@ def cap_per_stratum(
     while rn in df.columns:
         rn += "_"
     return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= cap).drop(rn)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+# ASCII alnum tokenization — the subset java.util.regex and RE2
+# (DuckDB oracle) split identically.
+LM_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def lm_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) stream: lowercased ASCII-alnum tokens, empties
+    dropped. Pure JVM split + explode — no Python."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), LM_TOKEN_SPLIT), lambda t: t != ""
+    )
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
+
+
+def unigram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus unigram model: (token, n). One shuffle with map-side
+    partial aggregation — each executor emits at most one row per
+    distinct token per partition, so the exchange carries vocabulary,
+    not the token stream (Zipf: vocab grows ~sublinearly in corpus
+    size; at 100 TB the shuffled bytes are MBs per partition)."""
+    return lm_tokens(df, text_col, id_col).groupBy("token").agg(
+        F.count("*").alias("n")
+    )
+
+
+def lm_doc_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int | None = None,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram negative-log-likelihood — the public
+    CCNet/Gopher-style "perplexity under a reference LM" quality
+    filter, with the corpus itself as the LM (swap `counts` for a
+    counts table trained on a held-out reference corpus, e.g.
+    Wikipedia, to reproduce CCNet exactly).
+
+    Model: add-one smoothing over the FULL corpus vocabulary —
+    p(tok) = (c_tok + 1) / (N + V + 1) with N = total corpus tokens,
+    V = distinct corpus tokens; any token outside the scoring vocab
+    (possible when `top_v` caps it, or scoring unseen docs) falls out
+    of the same formula as c = 0, i.e. the unseen-token probability
+    1 / (N + V + 1).
+
+    Output: (id_col, n_tok bigint, nll_avg double) — nll_avg = mean
+    -ln p over the doc's tokens, ROUNDed to 6 (cross-engine float
+    hashing), NULL for token-less docs. High nll_avg = far from the
+    reference distribution (gibberish / boilerplate / wrong language);
+    the standard keep rule is a percentile band, composable with
+    `quality_metrics`.
+
+    Scale shape: token-count agg shuffles vocabulary only (see
+    unigram_counts); N/V is a 1-row broadcast (no driver collect);
+    the token->count join is BROADCAST when `top_v` is set (the 100 TB
+    path: top_v ~ 1M rows ≈ 30 MB, eliminating both the join shuffle
+    and hot-token skew — 'the' alone is ~5% of English tokens), else a
+    shuffle join left to AQE's skew handling (fine at test SFs, not
+    the cluster default). Final per-doc agg is one partial-agg shuffle
+    on id_col.
+    """
+    full = counts if counts is not None else unigram_counts(df, text_col, id_col)
+    # N and V always come from the FULL model, not the capped vocab —
+    # capping changes which tokens are "known", never the denominator.
+    tot = full.agg(
+        F.sum("n").cast("double").alias("_lm_n"),
+        F.count("*").cast("double").alias("_lm_v"),
+    )
+    vocab = full
+    if top_v is not None:
+        if top_v < 1:
+            raise ValueError(f"top_v must be >= 1, got {top_v}")
+        vocab = F.broadcast(
+            full.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_v)
+        )
+    toks = lm_tokens(df, text_col, id_col)
+    denom = F.col("_lm_n") + F.col("_lm_v") + F.lit(1.0)
+    nll = -F.log((F.coalesce(F.col("n"), F.lit(0)) + F.lit(1.0)) / denom)
+    scored = (
+        toks.join(vocab, "token", "left")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg(nll), 6).alias("nll_avg"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+            "nll_avg",
+        )
+    )

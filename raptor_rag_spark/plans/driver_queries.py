@@ -335,13 +335,30 @@ RANK_MARGIN = 16
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 brute kNN + W3 threshold mode, one tagged result (merged
+    from the former knn_brute + knn_threshold entries — the driver
+    records at most 50 contract entries, see COVERAGE.md). One scoring
+    pass serves both branches: kind='topk' is the k={K} ranking;
+    kind='threshold' keeps rounded dist > 0.55 within the top-20
+    ranking (the reference's distance-not-similarity quirk,
+    tree_retriever.py:293-296)."""
+    from raptor_rag_spark.operators.knn import threshold_select
+
     emb = _t(spark, sf_dir, "embeddings")
     nodes = emb.select(F.col("vec_id").alias("node_id"), "embedding")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    out = knn_ops.brute_force_knn(queries, nodes, k=K + RANK_MARGIN)
-    return _rerank_rounded(out, K)
+    out = knn_ops.brute_force_knn(queries, nodes, k=20 + RANK_MARGIN)
+    ranked = _rerank_rounded(out, 20)
+    cols = ["query_id", "node_id", "rank", "dist"]
+    topk = ranked.filter(F.col("rank") <= K).select(
+        F.lit("topk").alias("kind"), *cols
+    )
+    thr = threshold_select(ranked, 0.55).select(
+        F.lit("threshold").alias("kind"), *cols
+    )
+    return topk.unionByName(thr)
 
 
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,33 +561,6 @@ def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup pairs, fully JVM (md5-prefix60 signatures,
-    value banding, est pre-filter, exact array_intersect Jaccard) —
-    every stage mirrored bit-identically in the DuckDB oracle. The
-    Arrow-kernel twin (minhash_dedup_pairs) keeps its pytest
-    exact-verify coverage."""
-    from raptor_rag_spark.operators.dedup import minhash_dedup_pairs_jvm
-
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs_jvm(docs, threshold=0.35)
-
-
-def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure-JVM minhash signatures (md5-prefix60 base hash, one hash
-    aggregate with 64 min() columns) — bit-identical DuckDB oracle.
-    The Arrow kernel (make_minhash_udf) stays the no-shuffle variant
-    used by minhash_dedup_pairs."""
-    from raptor_rag_spark.operators.dedup import minhash_signatures_jvm
-
-    docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures_jvm(docs)
-    # long format: the driver's value hash handles scalars, not arrays
-    return sig.select(
-        "doc_id", F.posexplode("sig").alias("hash_idx", "min_val")
-    )
-
-
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash family, one tagged result (merged from the former
     simhash_sig + simhash_pairs entries; 50-entry driver record cap,
@@ -675,23 +665,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, n=48)
     out = decode_features(media, decode_fn=fake_decode)
     return out.select("media_id", "kind", "n_bytes", F.size("feature").alias("feature_dim"))
-
-
-def q_knn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: the reference's threshold mode keeps dist > threshold
-    (distance, not similarity — quirk preserved)."""
-    from raptor_rag_spark.operators.knn import threshold_select
-
-    emb = _t(spark, sf_dir, "embeddings")
-    nodes = emb.select(F.col("vec_id").alias("node_id"), "embedding")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
-    )
-    ranked = knn_ops.brute_force_knn(queries, nodes, k=20 + RANK_MARGIN)
-    out = _rerank_rounded(ranked, 20)
-    # threshold on the ROUNDED dist (both sides) — the raw double can
-    # straddle the threshold by one ulp across engines
-    return threshold_select(out, 0.55)
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +893,159 @@ def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 W1/W2 + §2.6 in one tagged result (merged from the former
+    topk_per_group + global_topn entries — 50-entry driver record cap,
+    COVERAGE.md): kind='group' = window top-3 per event_type
+    (WindowGroupLimit, plan-asserted); kind='global' = global ORDER BY
+    + LIMIT 20 (TakeOrderedAndProject, plan-asserted). Columns
+    normalized to (kind, gkey, id_a, id_b, val)."""
+    grp = q_topk_per_group(spark, sf_dir).select(
+        F.lit("group").alias("kind"),
+        F.col("event_type").alias("gkey"),
+        F.col("event_id").cast("long").alias("id_a"),
+        F.col("rnk").cast("long").alias("id_b"),
+        F.col("value").alias("val"),
+    )
+    glob = q_global_topn(spark, sf_dir).select(
+        F.lit("global").alias("kind"),
+        F.lit("").alias("gkey"),
+        F.col("l_orderkey").cast("long").alias("id_a"),
+        F.col("l_linenumber").cast("long").alias("id_b"),
+        F.col("price").alias("val"),
+    )
+    return grp.unionByName(glob)
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash family, one tagged result (merged from the former
+    minhash_sig + minhash_pairs entries — 50-entry driver record cap,
+    COVERAGE.md). kind='sig' rows carry (doc_id, hash_idx, min_val);
+    kind='pair' rows carry (id_a, id_b, n_common, jaccard) from the
+    LSH band join + exact verify; kind='est' rows carry the banded
+    candidates' estimated Jaccard (the pre-filter surface the former
+    pairs entry exposed). Bit-identical DuckDB oracle (md5-prefix60
+    base hash) for every branch."""
+    from raptor_rag_spark.operators.dedup import (
+        minhash_dedup_pairs_jvm,
+        minhash_signatures_jvm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = (
+        minhash_signatures_jvm(docs)
+        .select("doc_id", F.posexplode("sig").alias("hash_idx", "min_val"))
+        .select(
+            F.lit("sig").alias("kind"),
+            F.col("doc_id").cast("long").alias("id_a"),
+            F.col("hash_idx").cast("long").alias("id_b"),
+            F.col("min_val").cast("long").alias("lval"),
+            F.lit(None).cast("double").alias("dval"),
+        )
+    )
+    pairs_df = minhash_dedup_pairs_jvm(docs, threshold=0.35)
+    pair = pairs_df.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("n_common").cast("long").alias("lval"),
+        F.col("jaccard").alias("dval"),
+    )
+    est = pairs_df.select(
+        F.lit("est").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.lit(None).cast("long").alias("lval"),
+        F.col("est_jaccard").alias("dval"),
+    )
+    return sig.unionByName(pair).unionByName(est)
+
+
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py): emails / IPv4s / US-style phones
+    detected and redacted by pure-JVM regexp at scan speed. The
+    synthetic corpus carries no PII, so the query deterministically
+    plants contact strings derived from doc_id on every third doc
+    (decontam precedent: the oracle rebuilds the plant closed-form) —
+    the counts and the scrubbed-text md5 then exercise all three
+    patterns plus untouched-doc passthrough."""
+    from raptor_rag_spark.operators.pii import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        d.cast("string"),
+        F.lit("@example.com or 192.168."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+    )
+    planted = docs.withColumn(
+        "text", F.when(d % 3 == 0, contact).otherwise(F.col("text"))
+    )
+    out = scrub_pii(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_pii").cast("int").alias("n_pii"),
+        F.md5("text").alias("scrubbed_md5"),
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality filter (textstats.lm_doc_scores,
+    CCNet-style): add-one-smoothed corpus unigram model, per-doc mean
+    negative log-likelihood. Full-vocab variant here (closed-form
+    oracle); the 100 TB path sets top_v for a broadcast vocab join."""
+    from raptor_rag_spark.operators.textstats import lm_doc_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_doc_scores(docs)
+    return out.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "nll_avg"
+    )
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide exact paragraph dedup
+    (dedup.dedup_paragraphs): every non-blank line kept only at its
+    first (doc_id, line_idx) occurrence. The synthetic corpus has no
+    repeated lines, so the query deterministically plants boilerplate
+    (a nav-bar line on doc_id%4==1 docs, a footer on doc_id%6==2 —
+    disjoint plants by parity) that the operator must collapse to one
+    winner each; all other lines pass through and the rebuilt-text md5
+    pins the reassembly byte-exactly."""
+    from raptor_rag_spark.operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t1 = F.when(
+        d % 4 == 1, F.concat(F.lit("HOME | ABOUT | CONTACT\n"), F.col("text"))
+    ).otherwise(F.col("text"))
+    planted = docs.withColumn("text", t1).withColumn(
+        "text",
+        F.when(
+            d % 6 == 2,
+            F.concat(F.col("text"), F.lit("\nCopyright 2024 Example Corp")),
+        ).otherwise(F.col("text")),
+    )
+    out = dedup_paragraphs(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "text_md5",
+    )
+
+
 def q_catalog_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-catalog time travel (Iceberg-shaped seam): documents
     split into create (even doc_id) + append (odd doc_id) snapshots;
@@ -1046,7 +1172,7 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (multimodal_features, ann_index_search) now sit early on purpose.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
-    "topk_per_group": q_topk_per_group,
+    "topk": q_topk,
     "running_budget": q_running_budget,
     "tumbling_window": q_tumbling_window,
     "sessionize": q_sessionize,
@@ -1071,7 +1197,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam": q_decontam,
     "repetition": q_repetition,
     "embedding_neardup": q_embedding_neardup,
-    "knn_threshold": q_knn_threshold,
+    "pii": q_pii,
+    "lm_score": q_lm_score,
+    "para_dedup": q_para_dedup,
     "text_normalize": q_text_normalize,
     "embed_norm": q_embed_norm,
     "percentiles": q_percentiles,
@@ -1080,7 +1208,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_rollup": q_salted_rollup,
     "pages_month": q_pages_month,
     "catalog_snapshots": q_catalog_snapshots,
-    "global_topn": q_global_topn,
     "range_join": q_range_join,
     "simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
@@ -1091,8 +1218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_summary": q_cell_summary,
     "traversal_retrieval": q_traversal_retrieval,
     "chunks": q_chunks,
-    "minhash_pairs": q_minhash_pairs,
-    "minhash_sig": q_minhash_sig,
+    "minhash": q_minhash,
     "fingerprint": q_fingerprint,
     "collapsed_retrieval": q_collapsed_retrieval,
 }
@@ -1248,6 +1374,129 @@ SELECT id_a, id_b, est_jaccard, n_common,
        ROUND(n_common * 1.0 / (sz_a + sz_b - n_common), 6) AS jaccard
 FROM verified
 WHERE ROUND(n_common * 1.0 / (sz_a + sz_b - n_common), 6) >= {threshold}
+"""
+
+
+def _minhash_union_sql() -> str:
+    """Tagged union of the signature + pairs mirrors (merged contract
+    entry): 'sig' rows from _minhash_sql, 'pair'/'est' rows from one
+    shared evaluation of _minhash_pairs_sql."""
+    return f"""
+SELECT 'sig' AS kind, CAST(doc_id AS BIGINT) AS id_a,
+       CAST(hash_idx AS BIGINT) AS id_b, CAST(min_val AS BIGINT) AS lval,
+       CAST(NULL AS DOUBLE) AS dval
+FROM ({_minhash_sql()})
+UNION ALL
+SELECT kind, id_a, id_b, lval, dval FROM (
+  WITH mp AS ({_minhash_pairs_sql()})
+  SELECT 'pair' AS kind, CAST(id_a AS BIGINT) AS id_a,
+         CAST(id_b AS BIGINT) AS id_b, CAST(n_common AS BIGINT) AS lval,
+         jaccard AS dval
+  FROM mp
+  UNION ALL
+  SELECT 'est' AS kind, CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+         CAST(NULL AS BIGINT), est_jaccard
+  FROM mp
+)
+"""
+
+
+def _pii_sql() -> str:
+    """Mirror of q_pii: identical plant, regexes, and scrub order.
+    The three patterns use only the Java-regex/RE2-shared subset."""
+    from raptor_rag_spark.operators.pii import PII_PATTERNS
+
+    (_, email, e_repl), (_, ipv4, i_repl), (_, phone, p_repl) = PII_PATTERNS
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{email}'))
+            + len(regexp_extract_all(text, '{ipv4}'))
+            + len(regexp_extract_all(text, '{phone}')) AS INT) AS n_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{email}', '{e_repl}', 'g'),
+             '{ipv4}', '{i_repl}', 'g'),
+             '{phone}', '{p_repl}', 'g')) AS scrubbed_md5
+FROM planted
+"""
+
+
+def _lm_score_sql() -> str:
+    """Mirror of q_lm_score: same ASCII-alnum tokenization, add-one
+    smoothing over the full corpus vocabulary, mean -ln p per doc."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), s -> s <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS n FROM toks GROUP BY token
+), tot AS (
+  SELECT SUM(n) AS nt, CAST(COUNT(*) AS DOUBLE) AS v FROM counts
+), scored AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         ROUND(AVG(-ln((c.n + 1.0) / (tot.nt + tot.v + 1.0))), 6) AS nll_avg
+  FROM toks t JOIN counts c USING (token) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_tok, 0) AS BIGINT) AS n_tok, s.nll_avg
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def _para_dedup_sql() -> str:
+    """Mirror of q_para_dedup: identical plant, first-occurrence
+    winner per non-blank line, blank lines pass through, md5 of the
+    '\\n'-rejoin in line order."""
+    return """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN 'HOME | ABOUT | CONTACT' || chr(10) || text
+              ELSE text END AS t1
+  FROM documents
+), p2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 2 THEN t1 || chr(10) || 'Copyright 2024 Example Corp'
+              ELSE t1 END AS text
+  FROM planted
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM p2
+), lines AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) - 1 AS line_idx,
+         unnest(arr) AS line
+  FROM ls
+), winners AS (
+  SELECT doc_id, line_idx, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+  FROM lines WHERE trim(line) <> ''
+), kept AS (
+  SELECT doc_id, line_idx, line FROM winners WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, line_idx, line FROM lines WHERE trim(line) = ''
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY line_idx)) AS text_md5
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       r.text_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -1571,13 +1820,23 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
-        "topk_per_group": """
-SELECT event_type, event_id, ROUND(value, 2) AS value, CAST(rnk AS INT) AS rnk
+        "topk": """
+SELECT 'group' AS kind, event_type AS gkey, CAST(event_id AS BIGINT) AS id_a,
+       CAST(rnk AS BIGINT) AS id_b, ROUND(value, 2) AS val
 FROM (
   SELECT event_type, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
   FROM events
 ) WHERE rnk <= 3
+UNION ALL
+SELECT 'global' AS kind, '' AS gkey, CAST(l_orderkey AS BIGINT) AS id_a,
+       CAST(l_linenumber AS BIGINT) AS id_b, val
+FROM (
+  SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS val
+  FROM lineitem
+  ORDER BY val DESC, l_orderkey, l_linenumber
+  LIMIT 20
+)
 """,
         "running_budget": """
 SELECT user_id, event_id, ROUND(cum_value, 2) AS cum_value
@@ -1655,8 +1914,10 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) 
       < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
 """,
         "top_terms": _top_terms_sql(),
-        "minhash_sig": _minhash_sql(),
-        "minhash_pairs": _minhash_pairs_sql(),
+        "minhash": _minhash_union_sql(),
+        "pii": _pii_sql(),
+        "lm_score": _lm_score_sql(),
+        "para_dedup": _para_dedup_sql(),
         "tile_assign": f"WITH {XY_CTE}\n{tile_union}",
         "tile_soft": f"""
 WITH {XY_CTE},
@@ -1703,8 +1964,11 @@ scored AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, node_id, CAST(rank AS INT) AS rank, dist
+SELECT 'topk' AS kind, query_id, node_id, CAST(rank AS INT) AS rank, dist
 FROM ranked WHERE rank <= {K}
+UNION ALL
+SELECT 'threshold' AS kind, query_id, node_id, CAST(rank AS INT) AS rank, dist
+FROM ranked WHERE rank <= 20 AND dist > 0.55
 """,
         "knn_tiled": f"""
 WITH {XY_CTE},
@@ -1748,20 +2012,6 @@ SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 """,
-        "knn_threshold": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-scored AS (
-  SELECT q.query_id, e.vec_id AS node_id,
-         ROUND(1.0 - list_dot_product(q.qe, e.embedding::DOUBLE[]), 6) + 0.0 AS dist
-  FROM q CROSS JOIN embeddings e
-), ranked AS (
-  SELECT query_id, node_id, dist,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, node_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, node_id, CAST(rank AS INT) AS rank, dist
-FROM ranked WHERE rank <= 20 AND dist > 0.55
-""",
         "text_normalize": """
 SELECT doc_id,
        CASE WHEN NOT regexp_matches(text, '^(query:|passage:)')
@@ -1797,12 +2047,6 @@ SELECT q.vec_id AS query_id, n.vec_id AS node_id,
 FROM xy q JOIN xy n
   ON (q.x - n.x) * (q.x - n.x) + (q.y - n.y) * (q.y - n.y) <= 0.12 * 0.12
 WHERE q.vec_id < {N_QUERIES}
-""",
-        "global_topn": """
-SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
-FROM lineitem
-ORDER BY price DESC, l_orderkey, l_linenumber
-LIMIT 20
 """,
         "catalog_snapshots": """
 SELECT CAST(1 AS INT) AS snapshot_id,

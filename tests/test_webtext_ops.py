@@ -1,0 +1,182 @@
+"""PII scrub, unigram-LM scoring, paragraph dedup — the webtext
+pipeline operators added in round 4 (eighth session)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def _pii_df(spark):
+    rows = [
+        (0, "reach me at alice.smith+spam@mail-host.co.uk or bob@x.io today"),
+        (1, "server 10.0.255.3 talked to 192.168.1.1; port not an ip 1.2"),
+        (2, "call 555-867-5309 then 023-456-7890"),
+        (3, "clean text, no contact info at all"),
+        (4, "mixed: eve@corp.com from 172.16.0.9 dial 555-000-1111"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    from raptor_rag_spark.operators.pii import scrub_pii
+
+    out = {r["doc_id"]: r for r in scrub_pii(_pii_df(spark)).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 0, 0)
+    assert out[0]["text"] == "reach me at <EMAIL> or <EMAIL> today"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (0, 2, 0)
+    assert out[1]["text"] == "server <IP> talked to <IP>; port not an ip 1.2"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 2)
+    assert out[2]["text"] == "call <PHONE> then <PHONE>"
+    assert out[3]["n_pii"] == 0
+    assert out[3]["text"] == "clean text, no contact info at all"
+    assert out[4]["n_pii"] == 3
+    assert out[4]["text"] == "mixed: <EMAIL> from <IP> dial <PHONE>"
+
+
+def test_scrub_pii_map_only_plan(spark):
+    from raptor_rag_spark.operators.pii import scrub_pii
+
+    plan = scrub_pii(_pii_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def _lm_df(spark):
+    rows = [
+        (0, "the cat sat"),
+        (1, "the the the"),
+        (2, "dog dog zebra"),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _expected_nll(doc_tokens, corpus_counts, n_total, vocab_size):
+    denom = n_total + vocab_size + 1.0
+    return sum(
+        -math.log((corpus_counts.get(t, 0) + 1.0) / denom) for t in doc_tokens
+    ) / len(doc_tokens)
+
+
+def test_lm_doc_scores_matches_hand_model(spark):
+    from raptor_rag_spark.operators.textstats import lm_doc_scores
+
+    # corpus: the=4 cat=1 sat=1 dog=2 zebra=1 -> N=9, V=5
+    counts = {"the": 4, "cat": 1, "sat": 1, "dog": 2, "zebra": 1}
+    out = {r["doc_id"]: r for r in lm_doc_scores(_lm_df(spark)).collect()}
+    for doc_id, toks in [
+        (0, ["the", "cat", "sat"]),
+        (1, ["the", "the", "the"]),
+        (2, ["dog", "dog", "zebra"]),
+    ]:
+        exp = _expected_nll(toks, counts, 9, 5)
+        assert out[doc_id]["n_tok"] == len(toks)
+        assert out[doc_id]["nll_avg"] == pytest.approx(exp, abs=1e-6)
+    # rarer tokens -> higher nll than the all-common-token doc
+    assert out[2]["nll_avg"] > out[1]["nll_avg"]
+    # token-less doc: present, n_tok 0, NULL score
+    assert out[3]["n_tok"] == 0 and out[3]["nll_avg"] is None
+
+
+def test_lm_doc_scores_top_v_parity_and_oov(spark):
+    from raptor_rag_spark.operators.textstats import lm_doc_scores
+
+    df = _lm_df(spark)
+    full = {r["doc_id"]: r["nll_avg"] for r in lm_doc_scores(df).collect()}
+    # cap >= V: identical to the full model
+    capped = {r["doc_id"]: r["nll_avg"] for r in lm_doc_scores(df, top_v=100).collect()}
+    assert capped == full
+    # cap = 1 keeps only 'the'; every other token scores as unseen
+    # (c=0 in the SAME denominator), so doc 1 (all 'the') is unchanged
+    top1 = {r["doc_id"]: r["nll_avg"] for r in lm_doc_scores(df, top_v=1).collect()}
+    assert top1[1] == full[1]
+    denom = 9 + 5 + 1.0
+    exp0 = (-math.log(5 / denom) - 2 * math.log(1 / denom)) / 3
+    assert top1[0] == pytest.approx(exp0, abs=1e-6)
+    # capped-vocab join side is a broadcast, not a shuffle
+    plan = (
+        lm_doc_scores(df, top_v=1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_doc_scores_external_counts(spark):
+    """`counts` trained on a reference corpus scores OTHER docs (the
+    CCNet setup): scoring docs contribute nothing to the model."""
+    from raptor_rag_spark.operators.textstats import lm_doc_scores, unigram_counts
+
+    ref = _lm_df(spark)
+    counts = unigram_counts(ref)
+    target = spark.createDataFrame([(7, "the martian")], "doc_id long, text string")
+    row = lm_doc_scores(target, counts=counts).collect()[0]
+    denom = 9 + 5 + 1.0
+    exp = (-math.log(5 / denom) - math.log(1 / denom)) / 2  # 'martian' is OOV
+    assert row["nll_avg"] == pytest.approx(exp, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_first_occurrence(spark):
+    from raptor_rag_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (0, "unique a\nSHARED NAV\nunique b"),
+        (1, "SHARED NAV\nunique c"),
+        (2, "unique d\n\nSHARED NAV"),  # blank line must survive
+        (3, "SHARED NAV"),  # every line dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 3)  # first occurrence keeps
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 2)  # blank kept, NAV dropped
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["text_md5"] is None
+
+    # rebuilt text md5 matches a hand rebuild
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0]["text_md5"] == md5("unique a\nSHARED NAV\nunique b")
+    assert out[1]["text_md5"] == md5("unique c")
+    assert out[2]["text_md5"] == md5("unique d\n")
+
+
+def test_dedup_paragraphs_within_doc_and_determinism(spark):
+    from raptor_rag_spark.operators.dedup import dedup_paragraphs
+
+    # duplicate INSIDE one doc dedups to the earliest line_idx, and the
+    # result is repartition-invariant (winner = global min, not
+    # partition order)
+    rows = [(5, "x\ny\nx"), (6, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for d in (df, df.repartition(7)):
+        out = {r["doc_id"]: r for r in dedup_paragraphs(d).collect()}
+        assert (out[5]["n_lines"], out[5]["n_kept"]) == (3, 2)
+        assert (out[6]["n_lines"], out[6]["n_kept"]) == (1, 0)
+
+
+def test_facades(spark, tmp_path):
+    from raptor_rag_spark.api import RaptorEngine
+
+    eng = RaptorEngine(spark, str(tmp_path / "ck"))
+    assert eng.scrub_pii(_pii_df(spark)).count() == 5
+    assert eng.lm_quality_scores(_lm_df(spark)).count() == 4
+    df = spark.createDataFrame([(0, "a\nb"), (1, "a")], "doc_id long, text string")
+    assert eng.dedup_paragraphs(df).count() == 2
