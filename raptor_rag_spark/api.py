@@ -351,6 +351,26 @@ class RaptorEngine:
             docs, text_col=text_col, id_col=id_col, top_v=top_v, counts=counts
         )
 
+    def lm_perplexity_buckets(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+        **kw,
+    ) -> DataFrame:
+        """Score docs with the unigram LM and label each with CCNet's
+        head/middle/tail corpus-percentile bucket (`lm_bucket`) — the
+        standard 'train on head+middle' web-corpus filter becomes
+        `filter(lm_bucket != 'tail')`."""
+        from raptor_rag_spark.operators.textstats import (
+            lm_doc_scores,
+            lm_perplexity_buckets,
+        )
+
+        scores = lm_doc_scores(docs, text_col=text_col, id_col=id_col, **kw)
+        return lm_perplexity_buckets(scores, cuts=cuts)
+
     def dedup_paragraphs(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
@@ -360,6 +380,16 @@ class RaptorEngine:
         from raptor_rag_spark.operators.dedup import dedup_paragraphs
 
         return dedup_paragraphs(docs, id_col=id_col, text_col=text_col)
+
+    def drop_boilerplate_lines(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
+    ) -> DataFrame:
+        """RefinedWeb/Dolma-style boilerplate removal: lines appearing
+        in >= min_doc_frac of docs (or min_docs) dropped from EVERY
+        doc — see dedup.drop_boilerplate_lines."""
+        from raptor_rag_spark.operators.dedup import drop_boilerplate_lines
+
+        return drop_boilerplate_lines(docs, id_col=id_col, text_col=text_col, **kw)
 
     def collapse_recrawls(
         self, pages: DataFrame, key_cols: list[str] | None = None,

@@ -891,10 +891,7 @@ def dedup_paragraphs(
       3. per-doc reassembly agg on id_col (sort_array over struct
          (idx, line) -> concat_ws), partial too.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
-    )
+    lines = _explode_lines(df, id_col, text_col)
     blank = F.trim(F.col("line")) == ""
     content = lines.filter(~blank)
     winners = content.groupBy("line").agg(
@@ -909,6 +906,77 @@ def dedup_paragraphs(
         .drop("_first")
     )
     kept = kept_content.unionByName(lines.filter(blank))
+    return _reassemble_lines(lines, kept, id_col)
+
+
+_FRAC_DEFAULT = object()  # sentinel: min_docs overrides the default frac
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float | None = _FRAC_DEFAULT,  # type: ignore[assignment]
+    min_docs: int | None = None,
+) -> DataFrame:
+    """Document-frequency boilerplate removal (the RefinedWeb/Dolma
+    complement of `dedup_paragraphs`): a non-blank line appearing in at
+    least `min_docs` distinct docs (or `min_doc_frac` of the corpus) is
+    template chrome — nav bars, footers, cookie banners — and is
+    dropped from EVERY doc, first occurrence included (first-occurrence
+    dedup would still train on one copy per distinct banner). Blank
+    lines never participate. Same output shape as dedup_paragraphs.
+
+    Scale shape: line doc-frequency = two partial-agg shuffles — the
+    (line, id) distinct collapses a hot line to one row per (doc,
+    partition) map-side, then the per-line count is one row per
+    distinct line; the threshold scalar is a 1-row broadcast (no
+    driver collect); kept-marking joins on the line key; reassembly as
+    in dedup_paragraphs. No all-pairs anywhere; the hot-line skew this
+    op exists for is exactly what the partial aggs absorb.
+    """
+    if min_doc_frac is _FRAC_DEFAULT:
+        min_doc_frac = None if min_docs is not None else 0.05
+    if (min_doc_frac is None) == (min_docs is None):
+        raise ValueError("pass exactly one of min_doc_frac / min_docs")
+    lines = _explode_lines(df, id_col, text_col)
+    blank = F.trim(F.col("line")) == ""
+    content = lines.filter(~blank)
+    doc_freq = (
+        content.select("line", id_col)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("_ndocs"))
+    )
+    if min_docs is not None:
+        if min_docs < 2:
+            raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+        thr = F.lit(int(min_docs))
+        freq_thr = doc_freq.withColumn("_thr", thr)
+    else:
+        if not (0.0 < min_doc_frac <= 1.0):
+            raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+        total = df.select(F.countDistinct(id_col).alias("_total"))
+        freq_thr = doc_freq.join(F.broadcast(total)).withColumn(
+            "_thr",
+            F.greatest(F.ceil(F.col("_total") * F.lit(min_doc_frac)), F.lit(2)),
+        )
+    boiler = freq_thr.filter(F.col("_ndocs") >= F.col("_thr")).select("line")
+    kept_content = content.join(boiler, "line", "left_anti")
+    kept = kept_content.unionByName(lines.filter(blank))
+    return _reassemble_lines(lines, kept, id_col)
+
+
+def _explode_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+
+
+def _reassemble_lines(lines: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_lines, n_kept, text_md5): docs rebuilt from kept lines in
+    line order; text_md5 NULL when every line was dropped."""
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
         F.md5(

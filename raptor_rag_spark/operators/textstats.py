@@ -600,3 +600,50 @@ def lm_doc_scores(
             "nll_avg",
         )
     )
+
+
+def lm_perplexity_buckets(
+    scores: DataFrame,
+    score_col: str = "nll_avg",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by corpus
+    percentile of their LM score (low nll = close to the reference
+    distribution = 'head'). CCNet trains on head+middle and drops or
+    down-weights tail; the bucket column makes that a plain filter.
+
+    `scores` is lm_doc_scores output (or anything with score_col).
+    Thresholds come from ONE approx-percentile aggregate
+    (`percentile_approx`, a single partial-agg pass — never a global
+    sort) broadcast back as a 1-row join; rel_err trades threshold
+    precision for sketch size (both engine-side only — bucketing is a
+    banding heuristic, CCNet itself uses sampled thresholds).
+
+    NULL scores (token-less docs) bucket as 'tail' — an empty doc is
+    maximally uninformative, and CASE WHEN NULL would otherwise leak a
+    NULL bucket into downstream group-bys.
+
+    Scale: one partial-agg exchange for the sketch + one broadcast;
+    the labeling itself is map-only.
+    """
+    lo, hi = cuts
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    acc = max(2, int(1.0 / rel_err))
+    thr = scores.agg(
+        F.percentile_approx(score_col, F.lit(lo), F.lit(acc)).alias("_lm_lo"),
+        F.percentile_approx(score_col, F.lit(hi), F.lit(acc)).alias("_lm_hi"),
+    )
+    s = F.col(score_col)
+    bucket = (
+        F.when(s.isNull(), F.lit("tail"))
+        .when(s <= F.col("_lm_lo"), F.lit("head"))
+        .when(s <= F.col("_lm_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.join(F.broadcast(thr))
+        .withColumn("lm_bucket", bucket)
+        .drop("_lm_lo", "_lm_hi")
+    )

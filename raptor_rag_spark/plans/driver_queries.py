@@ -1015,15 +1015,23 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style corpus-wide exact paragraph dedup
-    (dedup.dedup_paragraphs): every non-blank line kept only at its
-    first (doc_id, line_idx) occurrence. The synthetic corpus has no
+    """Corpus-wide paragraph hygiene, BOTH strategies in one tagged
+    result: kind='first' = C4-style exact line dedup
+    (dedup.dedup_paragraphs — every non-blank line kept only at its
+    first (doc_id, line_idx) occurrence); kind='df' =
+    RefinedWeb/Dolma-style document-frequency boilerplate removal
+    (dedup.drop_boilerplate_lines — lines in >= 5% of docs dropped
+    from EVERY doc, first copy included). The synthetic corpus has no
     repeated lines, so the query deterministically plants boilerplate
-    (a nav-bar line on doc_id%4==1 docs, a footer on doc_id%6==2 —
-    disjoint plants by parity) that the operator must collapse to one
-    winner each; all other lines pass through and the rebuilt-text md5
-    pins the reassembly byte-exactly."""
-    from raptor_rag_spark.operators.dedup import dedup_paragraphs
+    (a nav-bar line on doc_id%4==1 docs ~25% DF, a footer on
+    doc_id%6==2 ~17% — disjoint plants by parity): 'first' must keep
+    exactly one winner each, 'df' must drop both everywhere; all other
+    lines pass through and the rebuilt-text md5 pins reassembly
+    byte-exactly."""
+    from raptor_rag_spark.operators.dedup import (
+        dedup_paragraphs,
+        drop_boilerplate_lines,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
@@ -1037,12 +1045,18 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit("\nCopyright 2024 Example Corp")),
         ).otherwise(F.col("text")),
     )
-    out = dedup_paragraphs(planted)
-    return out.select(
-        "doc_id",
-        F.col("n_lines").cast("long").alias("n_lines"),
-        F.col("n_kept").cast("long").alias("n_kept"),
-        "text_md5",
+
+    def _shape(out: DataFrame, kind: str) -> DataFrame:
+        return out.select(
+            F.lit(kind).alias("kind"),
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "text_md5",
+        )
+
+    return _shape(dedup_paragraphs(planted), "first").unionByName(
+        _shape(drop_boilerplate_lines(planted, min_doc_frac=0.05), "df")
     )
 
 
@@ -1458,9 +1472,11 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 def _para_dedup_sql() -> str:
-    """Mirror of q_para_dedup: identical plant, first-occurrence
-    winner per non-blank line, blank lines pass through, md5 of the
-    '\\n'-rejoin in line order."""
+    """Mirror of q_para_dedup: identical plant; kind='first' =
+    first-occurrence winner per non-blank line; kind='df' = drop lines
+    whose distinct-doc frequency >= greatest(ceil(5% of docs), 2);
+    blank lines pass through both; md5 of the '\\n'-rejoin in line
+    order."""
     return """
 WITH planted AS (
   SELECT doc_id,
@@ -1479,24 +1495,47 @@ WITH planted AS (
          CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) - 1 AS line_idx,
          unnest(arr) AS line
   FROM ls
+), blanks AS (
+  SELECT doc_id, line_idx, line FROM lines WHERE trim(line) = ''
+), content AS (
+  SELECT doc_id, line_idx, line FROM lines WHERE trim(line) <> ''
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
 ), winners AS (
   SELECT doc_id, line_idx, line,
          ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
-  FROM lines WHERE trim(line) <> ''
-), kept AS (
+  FROM content
+), kept_first AS (
   SELECT doc_id, line_idx, line FROM winners WHERE rn = 1
   UNION ALL
-  SELECT doc_id, line_idx, line FROM lines WHERE trim(line) = ''
-), rebuilt AS (
+  SELECT doc_id, line_idx, line FROM blanks
+), boiler AS (
+  SELECT line FROM (
+    SELECT line, COUNT(*) AS ndocs
+    FROM (SELECT DISTINCT line, doc_id FROM content) GROUP BY line
+  ), (SELECT greatest(CAST(ceil(COUNT(DISTINCT doc_id) * 0.05) AS BIGINT), 2) AS thr
+      FROM documents)
+  WHERE ndocs >= thr
+), kept_df AS (
+  SELECT c.doc_id, c.line_idx, c.line FROM content c ANTI JOIN boiler b ON c.line = b.line
+  UNION ALL
+  SELECT doc_id, line_idx, line FROM blanks
+), rebuilt_first AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
          md5(string_agg(line, chr(10) ORDER BY line_idx)) AS text_md5
-  FROM kept GROUP BY doc_id
-), totals AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+  FROM kept_first GROUP BY doc_id
+), rebuilt_df AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY line_idx)) AS text_md5
+  FROM kept_df GROUP BY doc_id
 )
-SELECT t.doc_id, t.n_lines, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
-       r.text_md5
-FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+SELECT 'first' AS kind, t.doc_id, t.n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept, r.text_md5
+FROM totals t LEFT JOIN rebuilt_first r USING (doc_id)
+UNION ALL
+SELECT 'df' AS kind, t.doc_id, t.n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept, r.text_md5
+FROM totals t LEFT JOIN rebuilt_df r USING (doc_id)
 """
 
 

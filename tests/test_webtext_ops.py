@@ -180,3 +180,99 @@ def test_facades(spark, tmp_path):
     assert eng.lm_quality_scores(_lm_df(spark)).count() == 4
     df = spark.createDataFrame([(0, "a\nb"), (1, "a")], "doc_id long, text string")
     assert eng.dedup_paragraphs(df).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_buckets(spark):
+    from raptor_rag_spark.operators.textstats import lm_perplexity_buckets
+
+    rows = [(i, float(i)) for i in range(9)] + [(9, None)]
+    scores = spark.createDataFrame(rows, "doc_id long, nll_avg double")
+    out = {r["doc_id"]: r["lm_bucket"] for r in lm_perplexity_buckets(scores).collect()}
+    # exact percentiles on 0..8: q33 -> 2.64.. -> nearest-rank approx;
+    # assert the ordering property instead of exact thresholds
+    buckets = [out[i] for i in range(9)]
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert all(order[a] <= order[b] for a, b in zip(buckets, buckets[1:]))
+    assert buckets[0] == "head" and buckets[8] == "tail"
+    assert "middle" in buckets
+    assert out[9] == "tail"  # NULL score pins to tail
+
+    with pytest.raises(ValueError):
+        lm_perplexity_buckets(scores, cuts=(0.7, 0.3))
+
+
+def test_lm_perplexity_buckets_facade(spark, tmp_path):
+    from raptor_rag_spark.api import RaptorEngine
+
+    eng = RaptorEngine(spark, str(tmp_path / "ck"))
+    out = eng.lm_perplexity_buckets(_lm_df(spark))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[3]["lm_bucket"] == "tail"  # token-less doc
+    assert {r["lm_bucket"] for r in rows.values()} <= {"head", "middle", "tail"}
+
+
+# ---------------------------------------------------------------------------
+# DF-based boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def test_drop_boilerplate_lines(spark):
+    from raptor_rag_spark.operators.dedup import drop_boilerplate_lines
+
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # NAV appears in 3/5 docs (60%), FOOT in 2/5 (40%), others unique
+    rows = [
+        (0, "NAV\nalpha\nFOOT"),
+        (1, "NAV\nbeta"),
+        (2, "NAV\n\ngamma"),
+        (3, "delta\nFOOT"),
+        (4, "epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=3: only NAV crosses; dropped from ALL docs (no first copy)
+    out = {r["doc_id"]: r for r in drop_boilerplate_lines(df, min_docs=3).collect()}
+    assert out[0]["text_md5"] == md5("alpha\nFOOT")
+    assert out[1]["text_md5"] == md5("beta")
+    assert out[2]["text_md5"] == md5("\ngamma")  # blank survives
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 2)
+    # min_doc_frac=0.4 -> threshold max(ceil(2),2)=2: FOOT also drops
+    out = {
+        r["doc_id"]: r
+        for r in drop_boilerplate_lines(df, min_doc_frac=0.4, min_docs=None).collect()
+    }
+    assert out[0]["text_md5"] == md5("alpha")
+    assert out[3]["text_md5"] == md5("delta")
+    assert out[4]["text_md5"] == md5("epsilon")  # unique lines untouched
+
+    # exactly-one-param guard
+    with pytest.raises(ValueError):
+        drop_boilerplate_lines(df, min_doc_frac=0.1, min_docs=3)
+    with pytest.raises(ValueError):
+        drop_boilerplate_lines(df, min_doc_frac=None, min_docs=None)
+    with pytest.raises(ValueError):
+        drop_boilerplate_lines(df, min_docs=1, min_doc_frac=None)
+
+
+def test_drop_boilerplate_facade_and_within_doc_df(spark, tmp_path):
+    from raptor_rag_spark.api import RaptorEngine
+
+    # DF counts DISTINCT docs: a line repeated 5x inside ONE doc stays
+    df = spark.createDataFrame(
+        [(0, "x\nx\nx\nx\nx"), (1, "y")], "doc_id long, text string"
+    )
+    eng = RaptorEngine(spark, str(tmp_path / "ck"))
+    out = {
+        r["doc_id"]: r
+        for r in eng.drop_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (5, 5)
