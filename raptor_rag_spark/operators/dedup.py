@@ -887,7 +887,12 @@ def dedup_paragraphs(
          skew (one hot nav-bar line in 10^9 docs) shuffles as one row
          per partition, not 10^9.
       2. kept-marking join on the line value — same key as (1), and
-         the winner side carries (line, id, idx) only.
+         the winner side carries (line, id, idx) only. A corpus-hot
+         line makes this key skewed on the CONTENT side; it is an
+         inner shuffle join with one winner row per key, exactly the
+         shape AQE's skew-join split handles (the single winner row
+         replicates across the split partitions) — keep
+         spark.sql.adaptive.skewJoin enabled at scale.
       3. per-doc reassembly agg on id_col (sort_array over struct
          (idx, line) -> concat_ws), partial too.
     """

@@ -565,6 +565,10 @@ def lm_doc_scores(
     the cluster default). Final per-doc agg is one partial-agg shuffle
     on id_col.
     """
+    if counts is not None and not {"token", "n"}.issubset(counts.columns):
+        raise ValueError(
+            f"counts must have (token, n) columns, got {counts.columns}"
+        )
     full = counts if counts is not None else unigram_counts(df, text_col, id_col)
     # N and V always come from the FULL model, not the capped vocab —
     # capping changes which tokens are "known", never the denominator.

@@ -276,3 +276,11 @@ def test_drop_boilerplate_facade_and_within_doc_df(spark, tmp_path):
         for r in eng.drop_boilerplate_lines(df, min_docs=2).collect()
     }
     assert (out[0]["n_lines"], out[0]["n_kept"]) == (5, 5)
+
+
+def test_lm_doc_scores_counts_guard(spark):
+    from raptor_rag_spark.operators.textstats import lm_doc_scores
+
+    bad = spark.createDataFrame([("the", 4)], "word string, cnt long")
+    with pytest.raises(ValueError, match="token"):
+        lm_doc_scores(_lm_df(spark), counts=bad)
