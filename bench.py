@@ -313,6 +313,27 @@ def run_scaling() -> dict:
     return out
 
 
+def _proc_stat_cpu() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
+    line; None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_frac(start: tuple[int, int] | None) -> float | None:
+    end = _proc_stat_cpu()
+    if start is None or end is None:
+        return None
+    dt = end[1] - start[1]
+    return round((end[0] - start[0]) / dt, 4) if dt > 0 else None
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         scaling_worker(int(sys.argv[2]))
@@ -332,6 +353,7 @@ def main() -> None:
 
     t_total0 = time.time()
     load_start = os.getloadavg()
+    cpu_start = _proc_stat_cpu()
     n_docs_holder = {}
 
     def _build():
@@ -819,6 +841,12 @@ def main() -> None:
             "load_avg_start": [round(v, 2) for v in load_start],
             "load_avg_end": [round(v, 2) for v in os.getloadavg()],
             "cpus": CPUS,
+            # fraction of this run's wall-clock the hypervisor stole
+            # from the VM (/proc/stat steal delta / elapsed-cpu delta):
+            # >~0.05 marks a polluted window even when loadavg looked
+            # clean at start (observed: uniform 2-4x slot inflation at
+            # idle loadavg — bench_r4s)
+            "cpu_steal_frac": _steal_frac(cpu_start),
         },
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
