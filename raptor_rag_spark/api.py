@@ -372,14 +372,14 @@ class RaptorEngine:
         return lm_perplexity_buckets(scores, cuts=cuts)
 
     def dedup_paragraphs(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
     ) -> DataFrame:
         """C4-style corpus-wide exact line dedup: every non-blank line
         kept only at its first (id, line_idx) occurrence — see
         dedup.dedup_paragraphs for the three-partial-agg scale shape."""
         from raptor_rag_spark.operators.dedup import dedup_paragraphs
 
-        return dedup_paragraphs(docs, id_col=id_col, text_col=text_col)
+        return dedup_paragraphs(docs, id_col=id_col, text_col=text_col, **kw)
 
     def drop_boilerplate_lines(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
@@ -409,6 +409,122 @@ class RaptorEngine:
 
             pages = canonicalize_pages(pages, url_col=(key_cols or ["url"])[0])
         return keep_latest(pages, key_cols or ["url"], ts_col, tie_cols=tie_cols)
+
+    def prepare_training_corpus(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        url_col: str | None = None,
+        ts_col: str = "warc_ts",
+        scrub: bool = True,
+        boilerplate_min_doc_frac: float | None = None,
+        min_quality: float | None = 0.5,
+        languages: list[str] | None = None,
+        drop_lm_tail: bool = False,
+        dedup: str | None = "exact",
+        benchmark: DataFrame | None = None,
+        decontam_n: int = 8,
+        decontam_threshold: float = 0.5,
+        max_per_stratum: int | None = None,
+        stratum_col: str = "source",
+    ) -> DataFrame:
+        """The full webtext training-corpus pipeline as ONE call — the
+        composition a user of this engine actually runs, in the
+        standard published order (CCNet / C4 / Gopher / RefinedWeb /
+        Dolma practice). Every stage is an engine operator documented
+        and evidenced on its own; this facade only sequences them. All
+        stages except the optional LM pass are a single lazy plan —
+        nothing materializes until the caller writes.
+
+        Stages (each optional via its parameter):
+
+        1. recrawl collapse (`url_col` set): canonical-URL keep-latest.
+        2. PII scrub (`scrub`): map-only redaction; downstream signals
+           and dedup see the scrubbed text (placeholders are stable, so
+           dedup keys are unaffected by WHERE a redaction happened).
+        3. boilerplate strip (`boilerplate_min_doc_frac`): DF-based
+           line removal, text rebuilt in place.
+        4. quality floor (`min_quality`): Gopher/C4-style score filter.
+        5. language filter (`languages`).
+        6. CCNet tail drop (`drop_lm_tail`): unigram-LM percentile
+           buckets; drops 'tail'. The ONLY stage that trains on the
+           corpus itself (two extra passes).
+        7. content dedup (`dedup`): 'exact' keeps hash survivors;
+           'minhash' / 'simhash' / 'ngram' cluster near-dups via
+           connected components and keep each cluster's canonical doc.
+        8. benchmark decontamination (`benchmark`): n-gram-overlap
+           flagged docs anti-joined out.
+        9. domain cap (`max_per_stratum`): seeded-hash rank cap per
+           `stratum_col`.
+
+        Returns the cleaned docs DataFrame with the original columns
+        (text scrubbed/rebuilt). Chunk/pack/export the result with
+        pack_training_sequences / export_training_order.
+        """
+        from raptor_rag_spark.operators.textstats import (
+            lang_id,
+            lm_doc_scores,
+            lm_perplexity_buckets,
+            quality_metrics,
+        )
+
+        out = docs
+        if url_col is not None:
+            out = self.collapse_recrawls(
+                out, key_cols=[url_col], ts_col=ts_col,
+                tie_cols=[id_col], canonicalize_urls=True,
+            )
+        if scrub:
+            out = self.scrub_pii(out, text_col=text_col).drop(
+                "n_email", "n_ipv4", "n_phone", "n_pii"
+            )
+        if boilerplate_min_doc_frac is not None:
+            rebuilt = self.drop_boilerplate_lines(
+                out, id_col=id_col, text_col=text_col,
+                min_doc_frac=boilerplate_min_doc_frac, return_text=True,
+            ).select(id_col, text_col)
+            out = out.drop(text_col).join(rebuilt, id_col)
+        if min_quality is not None:
+            q = quality_metrics(out, text_col=text_col, id_col=id_col)
+            keep = q.filter(F.col("quality_score") >= min_quality).select(id_col)
+            out = out.join(keep, id_col, "left_semi")
+        if languages is not None:
+            out = out.filter(lang_id(F.col(text_col)).isin(list(languages)))
+        if drop_lm_tail:
+            scores = lm_doc_scores(out, text_col=text_col, id_col=id_col)
+            keep = (
+                lm_perplexity_buckets(scores)
+                .filter(F.col("lm_bucket") != "tail")
+                .select(id_col)
+            )
+            out = out.join(keep, id_col, "left_semi")
+        if dedup == "exact":
+            from raptor_rag_spark.operators.dedup import exact_dedup
+
+            out = exact_dedup(out, id_col=id_col, text_col=text_col)
+        elif dedup is not None:
+            # pair methods take (doc_id, text) — normalize names in the
+            # projection they see, join survivors back by the caller's id
+            sub = out.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            labels = self.cluster_duplicates(sub, method=dedup)
+            keep_ids = labels.filter("keep").select(F.col("doc_id").alias(id_col))
+            out = out.join(keep_ids, id_col, "left_semi")
+        if benchmark is not None:
+            flagged = self.decontaminate(
+                out, benchmark, n=decontam_n, threshold=decontam_threshold,
+                id_col=id_col, text_col=text_col,
+            ).select(F.col("doc_id").alias(id_col)).distinct()
+            out = out.join(flagged, id_col, "left_anti")
+        if max_per_stratum is not None:
+            from raptor_rag_spark.operators.textstats import cap_per_stratum
+
+            out = cap_per_stratum(
+                out, cap=max_per_stratum, stratum_col=stratum_col, id_col=id_col
+            )
+        return out
 
     def pack_training_sequences(
         self, chunks: DataFrame, max_tokens: int, seed: int = 0, **kw

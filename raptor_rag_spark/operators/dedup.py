@@ -865,7 +865,10 @@ def keep_latest(
 
 
 def dedup_paragraphs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    return_text: bool = False,
 ) -> DataFrame:
     """C4-style corpus-wide exact paragraph (line) dedup: every
     non-blank line that occurs anywhere else in the corpus is kept
@@ -911,7 +914,7 @@ def dedup_paragraphs(
         .drop("_first")
     )
     kept = kept_content.unionByName(lines.filter(blank))
-    return _reassemble_lines(lines, kept, id_col)
+    return _reassemble_lines(lines, kept, id_col, return_text, text_col)
 
 
 _FRAC_DEFAULT = object()  # sentinel: min_docs overrides the default frac
@@ -923,6 +926,7 @@ def drop_boilerplate_lines(
     text_col: str = "text",
     min_doc_frac: float | None = _FRAC_DEFAULT,  # type: ignore[assignment]
     min_docs: int | None = None,
+    return_text: bool = False,
 ) -> DataFrame:
     """Document-frequency boilerplate removal (the RefinedWeb/Dolma
     complement of `dedup_paragraphs`): a non-blank line appearing in at
@@ -969,7 +973,7 @@ def drop_boilerplate_lines(
     boiler = freq_thr.filter(F.col("_ndocs") >= F.col("_thr")).select("line")
     kept_content = content.join(boiler, "line", "left_anti")
     kept = kept_content.unionByName(lines.filter(blank))
-    return _reassemble_lines(lines, kept, id_col)
+    return _reassemble_lines(lines, kept, id_col, return_text, text_col)
 
 
 def _explode_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -979,27 +983,38 @@ def _explode_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _reassemble_lines(lines: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
-    """(id, n_lines, n_kept, text_md5): docs rebuilt from kept lines in
-    line order; text_md5 NULL when every line was dropped."""
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("line_idx"), F.col("line")))
-                    ),
-                    lambda s: s["line"],
-                ),
-            )
-        ).alias("text_md5"),
+def _reassemble_lines(
+    lines: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    return_text: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_lines, n_kept, text_md5 | text): docs rebuilt from kept
+    lines in line order. Default emits md5 of the rebuilt text (the
+    compact contract/evidence shape); return_text=True emits the
+    rebuilt `text` itself (the pipeline shape — downstream stages keep
+    processing the cleaned doc). Both are NULL when every line was
+    dropped."""
+    rebuilt_text = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("line_idx"), F.col("line")))
+            ),
+            lambda s: s["line"],
+        ),
     )
+    out_col = (
+        rebuilt_text.alias(text_col)
+        if return_text
+        else F.md5(rebuilt_text).alias("text_md5")
+    )
+    rebuilt = kept.groupBy(id_col).agg(F.count("*").alias("n_kept"), out_col)
     totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
     return totals.join(rebuilt, id_col, "left").select(
         id_col,
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        "text_md5",
+        text_col if return_text else "text_md5",
     )

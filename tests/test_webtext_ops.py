@@ -284,3 +284,84 @@ def test_lm_doc_scores_counts_guard(spark):
     bad = spark.createDataFrame([("the", 4)], "word string, cnt long")
     with pytest.raises(ValueError, match="token"):
         lm_doc_scores(_lm_df(spark), counts=bad)
+
+
+# ---------------------------------------------------------------------------
+# prepare_training_corpus — the composed pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_training_corpus_end_to_end(spark, tmp_path):
+    """One planted hazard per stage; the pipeline must resolve all of
+    them in one call and keep the clean survivors' (scrubbed) text."""
+    from raptor_rag_spark.api import RaptorEngine
+
+    good = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "and watches the quiet water move past the old stone bridge"
+    )
+    rows = [
+        # recrawl pair: same canonical url, id 1 is the newer fetch
+        (0, "http://A.com/page?utm_source=x", 100, "siteA", "old fetch " + good),
+        (1, "http://a.com/page", 200, "siteA", good + " updated text version here"),
+        # PII doc (otherwise clean)
+        (2, "http://b.com/1", 100, "siteB", good + " contact zed@example.com now"),
+        # low-quality doc (digit-heavy AND too few words -> score 0.0)
+        (3, "http://b.com/2", 100, "siteB", "1234 5678 9999"),
+        # exact dup pair: 4 kept (min id), 5 dropped
+        (4, "http://c.com/1", 100, "siteC", good),
+        (5, "http://c.com/2", 100, "siteC", good.upper()),
+        # benchmark leak: verbatim bench question (distinct from `good`)
+        (6, "http://d.com/1", 100, "siteD",
+         "what color is the cloudless daytime sky answer it is blue of course"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts long, source string, text string"
+    )
+    bench = spark.createDataFrame(
+        [(0, "what color is the cloudless daytime sky answer it is blue of course")],
+        "bench_id long, text string",
+    )
+    eng = RaptorEngine(spark, str(tmp_path / "ck"))
+    out = eng.prepare_training_corpus(
+        docs,
+        url_col="url",
+        min_quality=0.5,
+        dedup="exact",
+        benchmark=bench,
+        decontam_n=5,
+    )
+    rows_out = {r["doc_id"]: r for r in out.collect()}
+    # 0 lost to recrawl collapse, 3 to quality, 5 to exact dedup, 6 to decontam
+    assert set(rows_out) == {1, 2, 4}
+    assert "<EMAIL>" in rows_out[2]["text"] and "zed@" not in rows_out[2]["text"]
+    # original non-text columns survive
+    assert rows_out[4]["source"] == "siteC"
+
+
+def test_prepare_training_corpus_stages_toggle(spark, tmp_path):
+    """Stages off -> passthrough; near-dup clustering path + domain cap."""
+    from raptor_rag_spark.api import RaptorEngine
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+    )
+    rows = [(i, "s" + str(i % 2), base + f" tail{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    eng = RaptorEngine(spark, str(tmp_path / "ck"))
+    # everything disabled = identity (same rows, text untouched)
+    ident = eng.prepare_training_corpus(
+        docs, scrub=False, min_quality=None, dedup=None
+    )
+    assert sorted(r["text"] for r in ident.collect()) == sorted(r[2] for r in rows)
+    # near-dup clustering: all 6 are one ngram cluster -> canonical only
+    clustered = eng.prepare_training_corpus(
+        docs, scrub=False, min_quality=None, dedup="ngram"
+    )
+    assert [r["doc_id"] for r in clustered.collect()] == [0]
+    # domain cap: 2 sources, cap 1 -> 2 rows
+    capped = eng.prepare_training_corpus(
+        docs, scrub=False, min_quality=None, dedup=None, max_per_stratum=1
+    )
+    assert capped.count() == 2
