@@ -511,3 +511,45 @@ def test_two_streams_one_store_do_not_clobber(spark, tmp_path_factory):
     n2 = read_stream_level0(spark, out).count()
     assert n1 > 0
     assert n2 > n1  # stream 2's epoch 0 landed NEXT TO stream 1's
+
+
+def test_stream_composes_scrub_and_quality(spark, tmp_path_factory):
+    """The webtext map-only ops (PII scrub, quality metrics columns,
+    lang-id) compose directly into a streaming ingest: readStream ->
+    scrub_pii -> quality/lang columns -> sink, across micro-batches —
+    no stateful operator involved, so the plan stays watermark-free
+    and per-batch map-only (the 100 TB ingest shape: scrub at first
+    touch, before anything persists)."""
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.pii import scrub_pii
+    from raptor_rag_spark.operators.textstats import lang_id
+
+    root = tmp_path_factory.mktemp("scompose")
+    in_dir, out_dir, ck = str(root / "in"), str(root / "out"), str(root / "ck")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "the cat and the dog went to the market for a mail a@b.io")], schema
+    ).write.parquet(f"{in_dir}/b1")
+    spark.createDataFrame(
+        [(2, "der und die das ist nicht ein ip 10.0.0.1 mit auf zu")], schema
+    ).write.parquet(f"{in_dir}/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    cleaned = scrub_pii(stream).withColumn("lang", lang_id(F.col("text")))
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["text"]
+    assert got[2]["n_ipv4"] == 1 and "<IP>" in got[2]["text"]
+    assert got[1]["lang"] == "en" and got[2]["lang"] == "de"
