@@ -826,6 +826,20 @@ def main() -> None:
 
     timed("cap_domains", _cap_domains)
 
+    def _span_dedup():
+        """ExactSubstr duplicate-span removal over the full documents
+        table (k=8 window-cover; text shuffles once, fingerprints
+        carry detection) — the corpus-hygiene stage RefinedWeb runs
+        after fuzzy dedup."""
+        from raptor_rag_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        remove_duplicate_spans(docs, k=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("span_dedup_exactsubstr", _span_dedup)
+
     total = round(time.time() - t_total0, 3)
     build_t = timings["build_pipeline"]
     knn_t = timings["knn_tiled_1000q"]
@@ -876,6 +890,11 @@ def main() -> None:
             ),
             "pack_chunks_per_sec": round(
                 pipe_holder.get("packed_chunks", 0) / timings["pack_sequences"], 2
+            ),
+            "span_dedup_docs_per_sec": round(
+                pipe_holder.get("export_docs", 0)
+                / timings["span_dedup_exactsubstr"],
+                2,
             ),
             "incremental_clustered_rows": tree_holder.get("clustered_rows"),
         },

@@ -391,6 +391,17 @@ class RaptorEngine:
 
         return drop_boilerplate_lines(docs, id_col=id_col, text_col=text_col, **kw)
 
+    def remove_duplicate_spans(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
+    ) -> DataFrame:
+        """ExactSubstr dedup (Lee et al. 2021): drop every token inside
+        a >=k-token span occurring >= min_count times corpus-wide (all
+        copies) — see dedup.remove_duplicate_spans; dedup.
+        duplicate_spans returns the spans themselves."""
+        from raptor_rag_spark.operators.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(docs, id_col=id_col, text_col=text_col, **kw)
+
     def collapse_recrawls(
         self, pages: DataFrame, key_cols: list[str] | None = None,
         ts_col: str = "warc_ts", tie_cols: list[str] | None = None,
@@ -423,6 +434,7 @@ class RaptorEngine:
         languages: list[str] | None = None,
         drop_lm_tail: bool = False,
         dedup: str | None = "exact",
+        dedup_spans_k: int | None = None,
         benchmark: DataFrame | None = None,
         decontam_n: int = 8,
         decontam_threshold: float = 0.5,
@@ -444,7 +456,9 @@ class RaptorEngine:
            and dedup see the scrubbed text (placeholders are stable, so
            dedup keys are unaffected by WHERE a redaction happened).
         3. boilerplate strip (`boilerplate_min_doc_frac`): DF-based
-           line removal, text rebuilt in place.
+           line removal, text rebuilt in place. NULL-text docs do not
+           survive this stage (they produce no lines to rebuild) —
+           consistent with stage 4, which scores NULL text 0.0.
         4. quality floor (`min_quality`): Gopher/C4-style score filter.
         5. language filter (`languages`).
         6. CCNet tail drop (`drop_lm_tail`): unigram-LM percentile
@@ -453,9 +467,15 @@ class RaptorEngine:
         7. content dedup (`dedup`): 'exact' keeps hash survivors;
            'minhash' / 'simhash' / 'ngram' cluster near-dups via
            connected components and keep each cluster's canonical doc.
-        8. benchmark decontamination (`benchmark`): n-gram-overlap
+        8. duplicate-span removal (`dedup_spans_k`): ExactSubstr —
+           every token inside a >=k-token span occurring twice
+           corpus-wide drops, text rebuilt in place (whitespace runs
+           collapse — remove_duplicate_spans' stated contract); docs
+           left with NO tokens (fully duplicated) drop entirely.
+           RefinedWeb runs exactly this after fuzzy doc dedup.
+        9. benchmark decontamination (`benchmark`): n-gram-overlap
            flagged docs anti-joined out.
-        9. domain cap (`max_per_stratum`): seeded-hash rank cap per
+        10. domain cap (`max_per_stratum`): seeded-hash rank cap per
            `stratum_col`.
 
         Returns the cleaned docs DataFrame with the original columns
@@ -512,6 +532,14 @@ class RaptorEngine:
             labels = self.cluster_duplicates(sub, method=dedup)
             keep_ids = labels.filter("keep").select(F.col("doc_id").alias(id_col))
             out = out.join(keep_ids, id_col, "left_semi")
+        if dedup_spans_k is not None:
+            rebuilt = self.remove_duplicate_spans(
+                out, id_col=id_col, text_col=text_col,
+                k=dedup_spans_k, return_text=True,
+            ).select(id_col, text_col)
+            out = out.drop(text_col).join(rebuilt, id_col).filter(
+                F.col(text_col).isNotNull()
+            )
         if benchmark is not None:
             flagged = self.decontaminate(
                 out, benchmark, n=decontam_n, threshold=decontam_threshold,

@@ -878,9 +878,12 @@ def dedup_paragraphs(
     2020, §2.2) removes repeated three-sentence spans the same way;
     lines are the Dolma/RefinedWeb variant.
 
-    Output: one row per input doc — (id_col, n_lines, n_kept,
-    text_md5) where text_md5 hashes the doc rebuilt from its kept
-    lines joined with "\\n" (NULL when every line was dropped).
+    Output: one row per input doc with non-NULL text — (id_col,
+    n_lines, n_kept, text_md5) where text_md5 hashes the doc rebuilt
+    from its kept lines joined with "\\n" (NULL when every line was
+    dropped). NULL-text docs yield no lines and are absent from the
+    output entirely (same as the SQL mirror: split(NULL) explodes to
+    nothing) — filter or impute NULLs upstream if they must survive.
 
     Scale shape (three partial-agg shuffles, no all-pairs, text
     shuffles at line granularity):
@@ -934,7 +937,8 @@ def drop_boilerplate_lines(
     template chrome — nav bars, footers, cookie banners — and is
     dropped from EVERY doc, first occurrence included (first-occurrence
     dedup would still train on one copy per distinct banner). Blank
-    lines never participate. Same output shape as dedup_paragraphs.
+    lines never participate. Same output shape (and NULL-text-doc
+    absence) as dedup_paragraphs.
 
     Scale shape: line doc-frequency = two partial-agg shuffles — the
     (line, id) distinct collapses a hot line to one row per (doc,
@@ -1017,4 +1021,165 @@ def _reassemble_lines(
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         text_col if return_text else "text_md5",
+    )
+
+
+# ------------------------------------------- exact duplicate spans
+
+
+def span_tokens(col: Column) -> Column:
+    """Case-preserving token stream for span dedup: collapse whitespace
+    runs to one space, trim, split on the space. Unlike
+    `normalized_text` this keeps case — removal rebuilds readable text
+    from the kept tokens, so the stream must stay faithful (the only
+    lossy step is whitespace collapsing, stated in the output
+    contract)."""
+    return F.split(F.trim(F.regexp_replace(col, WS_CLASS + "+", " ")), " ")
+
+
+def _dup_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared detection stage: returns (toks, dupw) where toks =
+    (id_col, _toks array) for every non-NULL-text doc and dupw =
+    (id_col, pos) of every length-k token window whose fingerprint
+    occurs >= min_count times corpus-wide (total occurrences — a
+    window repeated within one doc counts, matching ExactSubstr).
+
+    Scale shape — the doc text NEVER shuffles in detection:
+      1. windows are fingerprinted in place (xxhash64 of the k-token
+         join inside a JVM transform; transform index == start pos, so
+         posexplode yields (pos, fp) directly) — the exploded stream
+         carries (id, pos, 8-byte fp), never the window text;
+      2. dup fingerprints = groupBy(fp) count — partial agg, so a
+         boilerplate window hot in 10^9 docs shuffles one row per map
+         partition;
+      3. membership = equi-join on fp (the hot-fp skew is exactly
+         AQE skew-join shape).
+    Fingerprint collisions (~n^2/2^65) can only over-mark a window as
+    duplicated; at 10^12 windows that is ~2^15 spurious windows
+    corpus-wide — negligible for training-data hygiene, noted here for
+    honesty (the suffix-array reference tool is exact)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), span_tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    fps = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda p: F.xxhash64(F.array_join(F.slice(F.col("_toks"), p + 1, k), " ")),
+    )
+    wins = toks.filter(n >= k).select(
+        F.col(id_col), F.posexplode(fps).alias("pos", "_fp")
+    )
+    dup_fp = (
+        wins.groupBy("_fp")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_fp")
+    )
+    dupw = wins.join(dup_fp, "_fp").select(id_col, "pos")
+    return toks, dupw
+
+
+def _merge_spans(dupw: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands over duplicated window starts: windows at pos
+    p cover tokens [p, p+k); two windows merge when the next start is
+    <= prev + k (overlapping or back-to-back covered runs). Both
+    shuffles here carry only duplicated windows (id, pos) — a small
+    filtered subset, not the token stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    return (
+        dupw.withColumn("_isl", F.sum(brk).over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-span detection (the ExactSubstr family — Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", §4.1): find every maximal token span of length >= k that
+    occurs at least `min_count` times corpus-wide (the published tool
+    uses a monolithic suffix array; the distributed equivalence is
+    window-cover — a >=k-token substring occurs twice iff every one of
+    its k-windows does, so the union of duplicated k-windows IS the
+    duplicated-span set at token granularity).
+
+    Output: (id_col, span_start, span_end, n_windows) — token index
+    ranges [start, end) over `span_tokens`, one row per maximal span.
+    Positions index the WHITESPACE-COLLAPSED token stream.
+    """
+    toks, dupw = _dup_windows(df, id_col, text_col, k, min_count)
+    return _merge_spans(dupw, id_col, k)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    return_text: bool = False,
+) -> DataFrame:
+    """ExactSubstr removal: drop every token covered by a duplicated
+    >=k-token span (ALL copies drop, matching Lee et al.'s released
+    tool — keeping one canonical copy is a known open problem there)
+    and rebuild the doc from the kept tokens joined with single
+    spaces (the token stream is whitespace-collapsed, so rebuilt text
+    normalizes runs of whitespace — stated contract).
+
+    Output: one row per non-NULL-text doc — (id_col, n_tokens,
+    n_kept, text_md5 | text); text/md5 are NULL when every token was
+    covered. NULL-text docs are absent (same convention as
+    dedup_paragraphs).
+
+    Scale shape: detection as in `_dup_windows` (text never shuffles);
+    spans collapse to a per-doc array (rows = maximal spans only);
+    the ONLY text movement is the final join of span arrays onto the
+    token-array table on id_col — one doc-granularity shuffle,
+    the same budget as dedup_paragraphs' reassembly — and the kept
+    filter runs as a JVM higher-order function, map-side."""
+    toks, dupw = _dup_windows(df, id_col, text_col, k, min_count)
+    spans = _merge_spans(dupw, id_col, k)
+    arrs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = toks.join(arrs, id_col, "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda t, i: ~covered(i))
+    )
+    rebuilt = F.array_join(kept, " ")
+    n_kept = F.size(kept).cast("long")
+    out_col = (
+        F.when(n_kept > 0, rebuilt).alias(text_col)
+        if return_text
+        else F.when(n_kept > 0, F.md5(rebuilt)).alias("text_md5")
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(F.col("_toks")).cast("long").alias("n_tokens"),
+        n_kept.alias("n_kept"),
+        out_col,
     )

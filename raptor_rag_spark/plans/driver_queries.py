@@ -480,6 +480,13 @@ DECONTAM_PREFIX_WORDS = 25
 DECONTAM_N = 5
 DECONTAM_THRESHOLD = 0.4
 
+# q_para_dedup kind='span': 15-token sentence planted on doc_id%5==3
+SPAN_PLANT = (
+    "subscribe to our newsletter for weekly updates and exclusive "
+    "offers delivered straight to your inbox"
+)
+SPAN_K = 8
+
 
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (train/test n-gram overlap): the
@@ -1027,10 +1034,21 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%6==2 ~17% — disjoint plants by parity): 'first' must keep
     exactly one winner each, 'df' must drop both everywhere; all other
     lines pass through and the rebuilt-text md5 pins reassembly
-    byte-exactly."""
+    byte-exactly. kind='span' = ExactSubstr duplicate-span removal
+    (dedup.remove_duplicate_spans, Lee et al. 2021 — every token
+    covered by a >=8-token span occurring >=2 times corpus-wide is
+    dropped, ALL copies): its plant appends one fixed 15-token
+    sentence on doc_id%5==3 docs (the 8 fully-in-plant windows must
+    dup out; boundary windows drop only on the natural birthday
+    collisions of pre-plant suffixes, which the oracle reproduces
+    closed-form), and the synthetic corpus's own natural >=8-gram
+    repeats are detected identically by both sides. For 'span',
+    n_lines/n_kept count TOKENS of the whitespace-collapsed stream
+    and text_md5 hashes the space-rejoined kept tokens."""
     from raptor_rag_spark.operators.dedup import (
         dedup_paragraphs,
         drop_boilerplate_lines,
+        remove_duplicate_spans,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1046,17 +1064,31 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
 
-    def _shape(out: DataFrame, kind: str) -> DataFrame:
+    def _shape(out: DataFrame, kind: str, n_col: str = "n_lines") -> DataFrame:
         return out.select(
             F.lit(kind).alias("kind"),
             "doc_id",
-            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col(n_col).cast("long").alias("n_lines"),
             F.col("n_kept").cast("long").alias("n_kept"),
             "text_md5",
         )
 
-    return _shape(dedup_paragraphs(planted), "first").unionByName(
-        _shape(drop_boilerplate_lines(planted, min_doc_frac=0.05), "df")
+    span_planted = docs.withColumn(
+        "text",
+        F.when(
+            d % 5 == 3, F.concat(F.col("text"), F.lit(" " + SPAN_PLANT))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        _shape(dedup_paragraphs(planted), "first")
+        .unionByName(_shape(drop_boilerplate_lines(planted, min_doc_frac=0.05), "df"))
+        .unionByName(
+            _shape(
+                remove_duplicate_spans(span_planted, k=SPAN_K, min_count=2),
+                "span",
+                n_col="n_tokens",
+            )
+        )
     )
 
 
@@ -1472,12 +1504,19 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 def _para_dedup_sql() -> str:
-    """Mirror of q_para_dedup: identical plant; kind='first' =
+    """Mirror of q_para_dedup: identical plants; kind='first' =
     first-occurrence winner per non-blank line; kind='df' = drop lines
     whose distinct-doc frequency >= greatest(ceil(5% of docs), 2);
     blank lines pass through both; md5 of the '\\n'-rejoin in line
-    order."""
-    return """
+    order. kind='span' = ExactSubstr window-cover removal: k-token
+    windows duplicated (total count >= 2) corpus-wide mark their k
+    covered positions; kept tokens rejoin with ' '. The oracle groups
+    windows by STRING where the engine groups by xxhash64 fingerprint
+    — identical unless xxhash64 collides (~n^2/2^65, zero at test
+    SFs)."""
+    k = SPAN_K
+    parts = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 1 THEN 'HOME | ABOUT | CONTACT' || chr(10) || text
@@ -1528,6 +1567,40 @@ WITH planted AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
          md5(string_agg(line, chr(10) ORDER BY line_idx)) AS text_md5
   FROM kept_df GROUP BY doc_id
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 3 THEN text || ' {SPAN_PLANT}' ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+), st AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
+  FROM sp
+), sw AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, greatest(len(toks) - {k - 1}, 0))) AS BIGINT) AS pos,
+         unnest(list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                               i -> concat_ws(' ', {parts}))) AS win
+  FROM st
+), sdup AS (
+  SELECT win FROM sw GROUP BY win HAVING COUNT(*) >= 2
+), scov AS (
+  SELECT DISTINCT w.doc_id, w.pos + o.o AS tpos
+  FROM sw w JOIN sdup d USING (win)
+  CROSS JOIN (SELECT CAST(unnest(range(0, {k})) AS BIGINT) AS o) o
+), stok AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, len(toks))) AS BIGINT) AS tpos,
+         unnest(toks) AS tok
+  FROM st
+), skept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM stok t ANTI JOIN scov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+), srebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY tpos)) AS text_md5
+  FROM skept GROUP BY doc_id
+), stotals AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_lines FROM st
 )
 SELECT 'first' AS kind, t.doc_id, t.n_lines,
        CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept, r.text_md5
@@ -1536,6 +1609,10 @@ UNION ALL
 SELECT 'df' AS kind, t.doc_id, t.n_lines,
        CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept, r.text_md5
 FROM totals t LEFT JOIN rebuilt_df r USING (doc_id)
+UNION ALL
+SELECT 'span' AS kind, t.doc_id, t.n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept, r.text_md5
+FROM stotals t LEFT JOIN srebuilt r USING (doc_id)
 """
 
 
