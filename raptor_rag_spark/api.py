@@ -402,6 +402,17 @@ class RaptorEngine:
 
         return remove_duplicate_spans(docs, id_col=id_col, text_col=text_col, **kw)
 
+    def build_span_store(self, docs: DataFrame, path: str, **kw):
+        """Persist the corpus's span-fingerprint counts for INCREMENTAL
+        ExactSubstr dedup: `store.ingest(batch)` scrubs each new crawl
+        batch against everything seen so far in O(new) append +
+        shuffle-free store scan (first-seen copy kept) — see
+        operators/span_store.SpanFingerprintStore; reload with
+        `SpanFingerprintStore.load(spark, path)`."""
+        from raptor_rag_spark.operators.span_store import SpanFingerprintStore
+
+        return SpanFingerprintStore.build(self.spark, docs, path, **kw)
+
     def collapse_recrawls(
         self, pages: DataFrame, key_cols: list[str] | None = None,
         ts_col: str = "warc_ts", tie_cols: list[str] | None = None,

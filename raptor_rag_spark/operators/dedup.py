@@ -1060,21 +1060,10 @@ def _dup_windows(
     duplicated; at 10^12 windows that is ~2^15 spurious windows
     corpus-wide — negligible for training-data hygiene, noted here for
     honesty (the suffix-array reference tool is exact)."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), span_tokens(F.col(text_col)).alias("_toks")
-    )
-    n = F.size(F.col("_toks"))
-    fps = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda p: F.xxhash64(F.array_join(F.slice(F.col("_toks"), p + 1, k), " ")),
-    )
-    wins = toks.filter(n >= k).select(
-        F.col(id_col), F.posexplode(fps).alias("pos", "_fp")
-    )
+    toks = span_token_table(df, id_col, text_col)
+    wins = window_fingerprints(toks, id_col, k)
     dup_fp = (
         wins.groupBy("_fp")
         .agg(F.count("*").alias("_cnt"))
@@ -1083,6 +1072,32 @@ def _dup_windows(
     )
     dupw = wins.join(dup_fp, "_fp").select(id_col, "pos")
     return toks, dupw
+
+
+def span_token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_col, _toks): the whitespace-collapsed token array per
+    non-NULL-text doc — the shared input of window fingerprinting and
+    kept-token rebuild."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), span_tokens(F.col(text_col)).alias("_toks")
+    )
+
+
+def window_fingerprints(toks: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id_col, pos, _fp): xxhash64 of every length-k token window,
+    fingerprinted in place (JVM transform; transform index == start
+    pos) so the exploded stream never carries window text. Docs with
+    fewer than k tokens yield no rows."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    n = F.size(F.col("_toks"))
+    fps = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda p: F.xxhash64(F.array_join(F.slice(F.col("_toks"), p + 1, k), " ")),
+    )
+    return toks.filter(n >= k).select(
+        F.col(id_col), F.posexplode(fps).alias("pos", "_fp")
+    )
 
 
 def _merge_spans(dupw: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -1158,6 +1173,21 @@ def remove_duplicate_spans(
     the same budget as dedup_paragraphs' reassembly — and the kept
     filter runs as a JVM higher-order function, map-side."""
     toks, dupw = _dup_windows(df, id_col, text_col, k, min_count)
+    return scrub_from_dup_windows(toks, dupw, id_col, text_col, k, return_text)
+
+
+def scrub_from_dup_windows(
+    toks: DataFrame,
+    dupw: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    return_text: bool,
+) -> DataFrame:
+    """Shared rebuild stage: given the token table and the duplicated
+    window starts, merge windows into maximal spans, drop covered
+    tokens with a JVM higher-order filter (map-side), and emit
+    (id, n_tokens, n_kept, text_md5 | text)."""
     spans = _merge_spans(dupw, id_col, k)
     arrs = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
