@@ -288,6 +288,32 @@ class RaptorEngine:
             rates_pct=rates_pct, default_pct=default_pct,
         )
 
+    def sample_mixture(
+        self,
+        docs: DataFrame,
+        rates_pct: dict[str, int] | None = None,
+        default_pct: int = 100,
+        stratum_col: str = "lang",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Weighted dataset-mixture sampling with deterministic
+        up-sampling epochs (rates > 100% repeat rows with an `epoch`
+        column) — see textstats.sample_mixture."""
+        from raptor_rag_spark.operators.textstats import sample_mixture
+
+        return sample_mixture(
+            docs, rates_pct=rates_pct, default_pct=default_pct,
+            stratum_col=stratum_col, id_col=id_col,
+        )
+
+    def select_to_token_budget(self, scored: DataFrame, budget: int, **kw) -> DataFrame:
+        """Exact best-docs-first selection under a global token budget
+        (two-phase distributed prefix sum) — see
+        textstats.select_to_token_budget."""
+        from raptor_rag_spark.operators.textstats import select_to_token_budget
+
+        return select_to_token_budget(scored, budget, **kw)
+
     def decontaminate(
         self, docs: DataFrame, benchmark: DataFrame, n: int = 8,
         threshold: float = 0.5, **kw,

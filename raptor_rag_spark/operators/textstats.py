@@ -498,6 +498,169 @@ def cap_per_stratum(
     return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= cap).drop(rn)
 
 
+def sample_mixture(
+    df: DataFrame,
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic dataset-mixture sampling with up-sampling epochs —
+    the weighted data-mixing step of published LM training recipes
+    (the per-source sampling-proportion/epoch tables in the GPT-3 and
+    LLaMA papers): a stratum with rate 250 (%) emits every row at
+    epochs 0 and 1 plus a deterministic 50 % subset at epoch 2; a
+    stratum with rate 40 emits a 40 % subset at epoch 0; rate 0 drops
+    the stratum entirely.
+
+    Output = input columns + ``epoch_col`` (int). Membership of the
+    fractional copy is the md5-prefix Bernoulli on the id (same hash as
+    stratified_hash_sample), so the mixture is repartition-invariant,
+    reproducible across runs/engines, and DuckDB-oracle-expressible —
+    none of which holds for df.sample(). Scale: a per-row projection +
+    explode (map-only, no shuffle); up-sampling multiplies rows by at
+    most ceil(rate/100) with no data movement, and the epoch column
+    lets the training exporter shard copies independently.
+    """
+    if default_pct < 0 or any(p < 0 for p in (rates_pct or {}).values()):
+        raise ValueError("mixture rates must be >= 0 (percent; >100 up-samples)")
+    if epoch_col in df.columns:
+        raise ValueError(f"input already has a {epoch_col!r} column")
+    rate = None
+    for stratum, pct in (rates_pct or {}).items():
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate_col = rate.otherwise(default_pct) if rate is not None else F.lit(default_pct)
+    h = md5_prefix60(F.col(id_col).cast("string")) % 100
+    n_copies = (rate_col / 100).cast("int") + F.when(h < rate_col % 100, 1).otherwise(0)
+    # sequence(0, -1) is a DESCENDING two-element array in Spark, so the
+    # zero-copy case must be an explicit empty array (explode drops it).
+    epochs = F.when(n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(epochs))
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """Exact global data selection under a token budget: keep rows in
+    (score desc, id asc) order while the running token total stays
+    within ``budget`` — semantically ``SUM(tokens) OVER (ORDER BY score
+    DESC, id ASC ROWS UNBOUNDED PRECEDING) <= budget``, the
+    select-the-best-docs-until-the-compute-budget step of quality-
+    filtered pretraining-data pipelines. Prefix semantics: once the
+    running total exceeds the budget, every later row is excluded
+    (the cumsum is monotone for non-negative token counts).
+
+    The naive window is a single-partition global sort — unusable at
+    crawl scale. Two-phase exact equivalent:
+
+      1. histogram: bucket = monotone coarsening of the score
+         (``num_buckets`` fixed-width bins over [min, max]); one
+         partial-agg groupBy gives per-bucket token sums; the driver
+         sorts the <= num_buckets rows desc and finds the boundary
+         bucket b* where the running sum first exceeds the budget.
+      2. every row in a bucket above b* is kept outright (their total
+         fits, and all of them precede any boundary row in the global
+         order); rows below b* drop at the scan; ONLY boundary-bucket
+         rows run the exact windowed cumsum, offset by the full
+         buckets' total.
+
+    Exact because the bucket function is monotone in the score (equal
+    scores share a bucket, so the (score, id) order restricted to the
+    boundary bucket matches the global order there). The boundary
+    cumsum itself is a distributed two-phase prefix sum (range
+    partition on the order key -> per-partition windowed cumsum +
+    per-partition-total offsets), so NO single-partition exchange
+    exists anywhere in the plan. Driver state is three bounded
+    collects: min/max, <= num_buckets histogram rows, and the
+    per-range-partition totals (<= shuffle parallelism rows). Rows
+    with NULL score or NULL tokens are excluded (coalesce upstream to
+    override).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    t = F.col(tokens_col).cast("long")
+    base = df.filter(s.isNotNull() & t.isNotNull())
+    mm = base.agg(F.min(s).alias("lo"), F.max(s).alias("hi")).collect()[0]
+    if mm["lo"] is None:
+        return base.limit(0)
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = (hi - lo) / num_buckets or 1.0
+    bucket = F.least(
+        F.floor((s - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(num_buckets - 1)
+    )
+    hist = base.groupBy(bucket.alias("_b")).agg(F.sum(t).alias("_toks")).collect()
+    hist.sort(key=lambda r: -r["_b"])
+    running, boundary = 0, None
+    for r in hist:
+        if running + r["_toks"] <= budget:
+            running += r["_toks"]
+        else:
+            boundary = r["_b"]
+            break
+    if boundary is None:  # everything fits
+        return base
+    bcol = "_budget_b"
+    while bcol in df.columns:
+        bcol += "_"
+    wb = base.withColumn(bcol, bucket)
+    full = wb.filter(F.col(bcol) > boundary).drop(bcol)
+
+    # Distributed exact prefix sum over the boundary bucket: range
+    # partition on the order key (pid order == key order), windowed
+    # cumsum WITHIN each pid, plus the cumulative total of all earlier
+    # pids as an offset. localCheckpoint pins ONE range partitioning so
+    # the totals collect and the window read see identical pids
+    # (repartitionByRange re-samples boundaries per execution).
+    pcol, ccol = bcol + "pid", bcol + "cum"
+    parts = max(2, wb.sparkSession.sparkContext.defaultParallelism)
+    bdf = (
+        wb.filter(F.col(bcol) == boundary)
+        .repartitionByRange(parts, s.desc(), F.col(id_col).asc())
+        .withColumn(pcol, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r[pcol]: r["_toks"]
+        for r in bdf.groupBy(pcol).agg(F.sum(t).alias("_toks")).collect()
+    }
+    if not totals:
+        return full
+    acc, offsets = running, []
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    ocol = bcol + "off"
+    off_df = wb.sparkSession.createDataFrame(
+        offsets, f"{pcol} int, {ocol} long"
+    )
+    w = (
+        Window.partitionBy(pcol)
+        .orderBy(s.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_boundary = (
+        bdf.join(F.broadcast(off_df), pcol)
+        .withColumn(ccol, F.sum(t).over(w) + F.col(ocol))
+        .filter(F.col(ccol) <= budget)
+        .drop(bcol, pcol, ccol, ocol)
+    )
+    return full.unionByName(kept_boundary)
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM perplexity scoring (CCNet-style quality filter)
 # ---------------------------------------------------------------------------

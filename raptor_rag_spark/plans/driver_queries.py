@@ -1183,16 +1183,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified hash sample (20% of 'en', 50% of the
-    rest) — membership is a pure function of doc_id, so it is stable
-    under any re-partitioning (df.sample is not) and bit-reproducible
-    in the oracle."""
-    from raptor_rag_spark.operators.textstats import stratified_hash_sample
+    """Tagged union of the three deterministic sampling/selection ops
+    (schema kind/doc_id/grp/n):
+
+    - 'bernoulli': stratified md5-hash sample (20% of 'en', 50% rest);
+      grp = lang, n = 0. Membership is a pure function of doc_id —
+      repartition-invariant, bit-reproducible in the oracle.
+    - 'mixture': weighted mixture with up-sampling epochs (en @ 250%,
+      rest @ 40%); grp = lang, n = epoch — the per-source
+      sampling-proportion/epoch step of LM training recipes.
+    - 'budget': exact global selection under a token budget (best
+      quality_score first, 2/5 of total corpus tokens); grp = '',
+      n = the doc's token count. Two-phase histogram + boundary-bucket
+      window engine-side; plain QUALIFY-cumsum oracle-side.
+    """
+    from raptor_rag_spark.operators.textstats import (
+        quality_metrics,
+        sample_mixture,
+        select_to_token_budget,
+        stratified_hash_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return stratified_hash_sample(
-        docs, rates_pct={"en": 20}, default_pct=50
-    ).select("doc_id", "lang")
+    bern = stratified_hash_sample(docs, rates_pct={"en": 20}, default_pct=50).select(
+        F.lit("bernoulli").alias("kind"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    mix = sample_mixture(docs, rates_pct={"en": 250}, default_pct=40).select(
+        F.lit("mixture").alias("kind"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        F.col("epoch").cast("long").alias("n"),
+    )
+    scored = quality_metrics(docs).select(
+        "doc_id",
+        "quality_score",
+        F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)).alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    sel = select_to_token_budget(
+        scored, budget=int(total) * 2 // 5, num_buckets=64
+    ).select(
+        F.lit("budget").alias("kind"),
+        "doc_id",
+        F.lit("").alias("grp"),
+        F.col("n_tokens").alias("n"),
+    )
+    return bern.unionByName(mix).unionByName(sel)
 
 
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,6 +1758,47 @@ LEFT JOIN bmax ON bmax.doc_id = base.doc_id
 """
 
 
+def _sampling_union_sql() -> str:
+    """Tagged union oracle for the three sampling/selection kinds
+    (mirrors q_stratified_sample): md5-hash Bernoulli sample, mixture
+    with up-sampling epochs, and the exact token-budget prefix
+    selection (QUALIFY running-cumsum; engine runs the two-phase
+    histogram equivalent — same kept set by the monotone-bucket
+    argument in select_to_token_budget's docstring)."""
+    from raptor_rag_spark.tokenizer import duckdb_token_count_expr
+
+    h60 = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN text IS NULL THEN 0.0 ELSE GREATEST(1.0
+           - (CASE WHEN len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) < 5 THEN 0.5 ELSE 0.0 END)
+           - (CASE WHEN length(text) > 0 AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) > 0.3 THEN 0.3 ELSE 0.0 END)
+           - (CASE WHEN length(text) > 0 AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) > 0.2 THEN 0.2 ELSE 0.0 END)
+           - (CASE WHEN length(text) = 0 OR length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) < 0.5 THEN 0.2 ELSE 0.0 END), 0.0) END, 6) AS quality_score,
+         COALESCE({duckdb_token_count_expr('text')}, 0) AS toks
+  FROM documents
+), mix AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 250 ELSE 40 END AS rate,
+         {h60} AS h
+  FROM documents
+)
+SELECT 'bernoulli' AS kind, doc_id, lang AS grp, CAST(0 AS BIGINT) AS n
+FROM documents
+WHERE {h60} < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+UNION ALL
+SELECT 'mixture' AS kind, doc_id, lang AS grp,
+       CAST(unnest(range(rate // 100 + CASE WHEN h < rate % 100 THEN 1 ELSE 0 END)) AS BIGINT) AS n
+FROM mix
+UNION ALL
+SELECT 'budget' AS kind, doc_id, '' AS grp, CAST(toks AS BIGINT) AS n
+FROM scored
+QUALIFY SUM(toks) OVER (ORDER BY quality_score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+        <= (SELECT SUM(toks) * 2 // 5 FROM scored)
+"""
+
+
 def _top_terms_sql(k: int = 5) -> str:
     from raptor_rag_spark.tokenizer import TOKEN_PATTERN
 
@@ -2024,11 +2104,7 @@ FROM m
         "fingerprint": _fingerprint_sql(),
         "simhash": _simhash_union_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
-        "stratified_sample": """
-SELECT doc_id, lang FROM documents
-WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
-      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
-""",
+        "stratified_sample": _sampling_union_sql(),
         "top_terms": _top_terms_sql(),
         "minhash": _minhash_union_sql(),
         "pii": _pii_sql(),

@@ -206,3 +206,124 @@ def test_read_shuffled_export_rejects_wrong_id(spark, docs, tmp_path):
     write_shuffled_export(docs, out, seed=1, shards=2)
     with pytest.raises(ValueError, match="id_col"):
         read_shuffled_export(spark, out, id_col="nope")
+
+
+# --------------------------------------- mixture sampling with epochs
+
+
+def test_sample_mixture_epochs_and_determinism(spark):
+    from raptor_rag_spark.operators.textstats import sample_mixture
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out = sample_mixture(df, rates_pct={"en": 250}, default_pct=40)
+    rows = [(r["doc_id"], r["lang"], r["epoch"]) for r in out.collect()]
+    en_ids = {i for i in range(400) if i % 2 == 0}
+    # every en doc appears at epochs 0 and 1 (the two full copies)
+    for e in (0, 1):
+        assert {d for d, lang, ep in rows if lang == "en" and ep == e} == en_ids
+    # fractional third en copy ~50%, strictly between none and all
+    extra = {d for d, lang, ep in rows if lang == "en" and ep == 2}
+    assert 0 < len(extra) < len(en_ids)
+    assert not any(ep > 2 for _, lang, ep in rows if lang == "en")
+    # de: subset at epoch 0 only, ~40%
+    de = {d for d, lang, ep in rows if lang == "de"}
+    assert all(ep == 0 for _, lang, ep in rows if lang == "de")
+    assert 0 < len(de) < 200
+    # repartition-invariant (pure function of (id, rate))
+    rows2 = {
+        (r["doc_id"], r["epoch"])
+        for r in sample_mixture(
+            df.repartition(17), rates_pct={"en": 250}, default_pct=40
+        ).collect()
+    }
+    assert {(d, e) for d, _, e in rows} == rows2
+
+
+def test_sample_mixture_rate_zero_and_guards(spark):
+    from raptor_rag_spark.operators.textstats import sample_mixture
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    out = sample_mixture(df, rates_pct={"de": 0}, default_pct=100).collect()
+    assert [(r["doc_id"], r["epoch"]) for r in out] == [(1, 0)]
+    with pytest.raises(ValueError, match=">= 0"):
+        sample_mixture(df, rates_pct={"en": -1})
+    with pytest.raises(ValueError, match="epoch"):
+        sample_mixture(df.withColumn("epoch", F.lit(1)), default_pct=100)
+
+
+# --------------------------------------- exact token-budget selection
+
+
+def _budget_reference(rows, budget):
+    """Naive global prefix: (score desc, id asc) cumsum <= budget."""
+    kept, cum = set(), 0
+    for doc_id, score, toks in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += toks
+        if cum > budget:
+            break
+        kept.add(doc_id)
+    return kept
+
+
+def test_select_to_token_budget_matches_naive_window(spark):
+    import random
+
+    from raptor_rag_spark.operators.textstats import select_to_token_budget
+
+    rng = random.Random(42)
+    data = [
+        (i, round(rng.random(), 3), rng.randrange(0, 50)) for i in range(600)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, score double, toks long")
+    total = sum(t for _, _, t in data)
+    for budget, buckets in [(0, 16), (total // 3, 16), (total // 3, 2), (total * 2, 16)]:
+        got = {
+            r["doc_id"]
+            for r in select_to_token_budget(
+                df, budget, score_col="score", tokens_col="toks", num_buckets=buckets
+            ).collect()
+        }
+        assert got == _budget_reference(data, budget), (budget, buckets)
+    # repartition invariance at a boundary-heavy setting
+    got13 = {
+        r["doc_id"]
+        for r in select_to_token_budget(
+            df.repartition(13), total // 3, score_col="score", tokens_col="toks",
+            num_buckets=4,
+        ).collect()
+    }
+    assert got13 == _budget_reference(data, total // 3)
+
+
+def test_select_to_token_budget_prefix_blocking_and_nulls(spark):
+    """A huge row early in the order blocks EVERYTHING after it
+    (prefix semantics, not knapsack); NULL score/tokens are excluded."""
+    from raptor_rag_spark.operators.textstats import select_to_token_budget
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 10),
+            (2, 0.9, 10_000),   # exceeds remaining budget -> blocks 3,4
+            (3, 0.8, 1),
+            (4, 0.7, 1),
+            (5, None, 1),       # NULL score excluded
+            (6, 0.95, None),    # NULL tokens excluded
+        ],
+        "doc_id long, score double, toks long",
+    )
+    got = {
+        r["doc_id"]
+        for r in select_to_token_budget(
+            df, 100, score_col="score", tokens_col="toks", num_buckets=4
+        ).collect()
+    }
+    assert got == {1}
+    with pytest.raises(ValueError, match="budget"):
+        select_to_token_budget(df, -1, score_col="score", tokens_col="toks")
+    with pytest.raises(ValueError, match="num_buckets"):
+        select_to_token_budget(df, 10, score_col="score", tokens_col="toks", num_buckets=1)
