@@ -439,6 +439,18 @@ class RaptorEngine:
 
         return SpanFingerprintStore.build(self.spark, docs, path, **kw)
 
+    def build_minhash_store(self, docs: DataFrame, path: str, **kw):
+        """Persist the corpus's minhash signatures + LSH band keys for
+        INCREMENTAL fuzzy dedup: `store.ingest(batch)` drops each new
+        crawl batch's near-duplicates of everything seen so far in
+        O(batch) (bucketed, shuffle-free store side; est-Jaccard
+        verify; first-seen copy kept) — see
+        operators/minhash_store.MinHashSignatureStore; reload with
+        `MinHashSignatureStore.load(spark, path)`."""
+        from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+        return MinHashSignatureStore.build(self.spark, docs, path, **kw)
+
     def collapse_recrawls(
         self, pages: DataFrame, key_cols: list[str] | None = None,
         ts_col: str = "warc_ts", tie_cols: list[str] | None = None,

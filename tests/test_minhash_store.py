@@ -1,0 +1,182 @@
+"""MinHashSignatureStore — incremental fuzzy dedup: batch-op pair
+equivalence, first-copy-kept ingest, within-batch greedy drop, append
+idempotency + replay self-heal, compaction identity, bucketed
+(exchange-free) store side, session re-registration."""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+N_HASHES, BANDS, SHINGLE_N, THRESH = 64, 16, 3, 0.5
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _doc(rng, n):
+    vocab = ["red", "blue", "green", "ink", "dot", "fig", "oak", "sky"]
+    return " ".join(rng.choice(vocab) for _ in range(n))
+
+
+def _corpus_rows(seed=21, n=20, start_id=0, plant=None):
+    rng = random.Random(seed)
+    rows = [(start_id + i, _doc(rng, rng.randint(12, 40))) for i in range(n)]
+    for i, text in plant or []:
+        rows.append((start_id + i, text))
+    return rows
+
+
+def _pairs(df):
+    return {
+        (r["batch_id"], r["store_id"]): r["est_jaccard"] for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def store_and_corpus(spark, tmp_path):
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    corpus = _df(spark, _corpus_rows())
+    store = MinHashSignatureStore.build(
+        spark, corpus, str(tmp_path / "mhstore"),
+        n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, n_buckets=4,
+    )
+    yield store, corpus
+    for t in store.meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_match_equals_batch_pairs(spark, store_and_corpus):
+    """match_batch == the batch family's est-only pairs over
+    corpus ∪ batch, restricted to cross (corpus, batch) pairs — the
+    store is the incremental form of the same LSH estimate."""
+    from raptor_rag_spark.operators.dedup import minhash_dedup_pairs
+
+    store, corpus = store_and_corpus
+    # plant near-dups of two corpus docs into the batch
+    planted = [
+        (r["doc_id"] + 100, r["text"] + " tail")
+        for r in corpus.orderBy("doc_id").limit(2).collect()
+    ]
+    batch = _df(spark, _corpus_rows(seed=22, n=8, start_id=150) + planted)
+    got = _pairs(store.match_batch(batch, threshold=THRESH))
+    assert len(got) >= 2  # the plants match their originals
+
+    want_all = minhash_dedup_pairs(
+        corpus.unionByName(batch), n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=SHINGLE_N, threshold=THRESH, verify=False,
+    ).collect()
+    batch_ids = {r[0] for r in batch.collect()}
+    want = {}
+    for r in want_all:
+        a, b = r["id_a"], r["id_b"]
+        if (a in batch_ids) != (b in batch_ids):  # cross pairs only
+            bid, sid = (a, b) if a in batch_ids else (b, a)
+            want[(bid, sid)] = r["est_jaccard"]
+    assert got == want
+
+
+def test_ingest_first_copy_kept_and_within_batch(spark, tmp_path):
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    rng = random.Random(30)
+    base = _doc(rng, 30)
+    seed = _df(spark, [(0, _doc(rng, 25))])
+    store = MinHashSignatureStore.build(
+        spark, seed, str(tmp_path / "mh2"),
+        n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, n_buckets=2,
+    )
+    # first batch introduces `base` -> kept (nothing in store matches)
+    b1 = _df(spark, [(1, base + " one")])
+    kept1 = {r["doc_id"] for r in store.ingest(b1).collect()}
+    assert kept1 == {1}
+    # second batch: a near-copy of base (drops vs store) and an
+    # internal near-dup pair (greedy keep-min-id drops the larger)
+    other = _doc(random.Random(31), 28)
+    b2 = _df(
+        spark,
+        [(2, base + " two"), (3, other + " x"), (4, other + " y"), (5, _doc(random.Random(32), 20))],
+    )
+    kept2 = {r["doc_id"] for r in store.ingest(b2, within_batch=True).collect()}
+    assert kept2 == {3, 5}
+    # third batch: a near-copy of the DROPPED doc 4's content still
+    # drops (scrubbed docs' signatures stay in the store on purpose)
+    b3 = _df(spark, [(6, other + " z")])
+    kept3 = {r["doc_id"] for r in store.ingest(b3).collect()}
+    assert kept3 == set()
+    for t in store.meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_idempotency_and_replay_self_heal(spark, store_and_corpus):
+    store, corpus = store_and_corpus
+    batch = _df(spark, _corpus_rows(seed=23, n=6, start_id=200))
+    probe = _df(
+        spark,
+        _corpus_rows(seed=24, n=4, start_id=300)
+        + [(330, batch.orderBy("doc_id").first()["text"] + " t")],
+    )
+    aid = store.append(batch)
+    baseline = _pairs(store.match_batch(probe, threshold=THRESH))
+    assert any(sid >= 200 for _, sid in baseline)  # probe hits the batch
+    assert store.append(batch) == "already_applied"
+    assert _pairs(store.match_batch(probe, threshold=THRESH)) == baseline
+
+    # lost-meta replay: rows land twice; the (key, _aid) collapse heals
+    store.meta["applied_appends"].remove(aid)
+    assert store.append(batch) == aid
+    assert _pairs(store.match_batch(probe, threshold=THRESH)) == baseline
+
+
+def test_compact_identity_and_ledger(spark, store_and_corpus):
+    store, corpus = store_and_corpus
+    b1 = _df(spark, _corpus_rows(seed=25, n=5, start_id=400))
+    a1 = store.append(b1)
+    store.append(_df(spark, _corpus_rows(seed=26, n=5, start_id=500)))
+    probe = _df(
+        spark,
+        _corpus_rows(seed=27, n=4, start_id=600)
+        + [(630, b1.orderBy("doc_id").first()["text"] + " q")],
+    )
+    before = _pairs(store.match_batch(probe, threshold=THRESH))
+    stats = store.compact()
+    for t in stats.values():
+        assert t["rows_after"] <= t["rows_before"]
+    assert _pairs(store.match_batch(probe, threshold=THRESH)) == before
+    assert store.append(b1) == "already_applied"
+    assert a1 in store.meta["applied_appends"]
+
+
+def test_store_side_plans_zero_exchanges(spark, store_and_corpus):
+    from raptor_rag_spark.sources.bucketed import n_exchanges
+
+    store, corpus = store_and_corpus
+    assert n_exchanges(store._bands()) == 0
+    assert n_exchanges(store._sigs()) == 0
+    batch = _df(spark, _corpus_rows(seed=28, n=4, start_id=700))
+    plan = (
+        store.scrub_batch(batch)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Bucketed: true" in plan
+
+
+def test_reregister_after_catalog_loss(spark, store_and_corpus):
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+    from raptor_rag_spark.sources.bucketed import n_exchanges
+
+    store, corpus = store_and_corpus
+    probe = _df(
+        spark,
+        [(800, corpus.orderBy("doc_id").first()["text"] + " r")],
+    )
+    want = _pairs(store.match_batch(probe, threshold=THRESH))
+    assert want  # the probe matches its corpus original
+    for t in store.meta["tables"].values():
+        spark.sql(f"DROP TABLE {t}")  # simulate a fresh session
+    re = MinHashSignatureStore.load(spark, store.path)
+    assert _pairs(re.match_batch(probe, threshold=THRESH)) == want
+    assert n_exchanges(re._bands()) == 0  # DDL kept the bucket layout
