@@ -840,6 +840,74 @@ def main() -> None:
 
     timed("span_dedup_exactsubstr", _span_dedup)
 
+    def _sample_mixture():
+        """Weighted mixture with up-sampling epochs (en @250%, rest
+        @40%) — map-only explode, the data-mixing step of LM recipes."""
+        from raptor_rag_spark.operators.textstats import sample_mixture
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pipe_holder["mixture_rows"] = sample_mixture(
+            docs, rates_pct={"en": 250}, default_pct=40
+        ).count()
+
+    timed("sample_mixture", _sample_mixture)
+
+    def _budget_select():
+        """Exact token-budget selection (quality-best-first, 2/5 of
+        corpus tokens) — histogram threshold + distributed prefix sum."""
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.operators.textstats import (
+            quality_metrics,
+            select_to_token_budget,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        scored = quality_metrics(docs).select(
+            "doc_id",
+            "quality_score",
+            F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)).alias("n_tokens"),
+        )
+        total_toks = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        select_to_token_budget(scored, int(total_toks) * 2 // 5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed("budget_select", _budget_select)
+
+    # ---- incremental fuzzy dedup: minhash signature store
+    from pyspark.sql import functions as _F
+
+    _mh_dir = _tempfile.mkdtemp(prefix="bench_mh_")
+    _mh_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _mh_holder: dict = {}
+
+    def _minhash_store_build():
+        from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+        _mh_holder["store"] = MinHashSignatureStore.build(
+            spark, _mh_docs.filter(_F.col("doc_id") % 10 != 0), _mh_dir + "/mh"
+        )
+
+    timed("minhash_store_build", _minhash_store_build)
+
+    _mh_batch = _mh_docs.filter(_F.col("doc_id") % 10 == 0)
+    pipe_holder["mh_batch_docs"] = _mh_batch.count()
+
+    def _minhash_store_ingest():
+        """Batch-vs-corpus near-dup scrub via the persisted store:
+        append O(batch) signatures, match against everything seen."""
+        _mh_holder["store"].ingest(_mh_batch).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("minhash_store_ingest", _minhash_store_ingest)
+    for _t in _mh_holder["store"].meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {_t}")
+    _shutil.rmtree(_mh_dir, ignore_errors=True)
+
     total = round(time.time() - t_total0, 3)
     build_t = timings["build_pipeline"]
     knn_t = timings["knn_tiled_1000q"]
@@ -894,6 +962,17 @@ def main() -> None:
             "span_dedup_docs_per_sec": round(
                 pipe_holder.get("export_docs", 0)
                 / timings["span_dedup_exactsubstr"],
+                2,
+            ),
+            "mixture_rows_per_sec": round(
+                pipe_holder.get("mixture_rows", 0) / timings["sample_mixture"], 2
+            ),
+            "budget_select_docs_per_sec": round(
+                pipe_holder.get("export_docs", 0) / timings["budget_select"], 2
+            ),
+            "incremental_fuzzy_dedup_docs_per_sec": round(
+                pipe_holder.get("mh_batch_docs", 0)
+                / timings["minhash_store_ingest"],
                 2,
             ),
             "incremental_clustered_rows": tree_holder.get("clustered_rows"),
