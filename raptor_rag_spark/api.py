@@ -306,6 +306,17 @@ class RaptorEngine:
             stratum_col=stratum_col, id_col=id_col,
         )
 
+    def distinct_sketches(
+        self, docs: DataFrame, value_col: str = "doc_id", **kw
+    ) -> DataFrame:
+        """Mergeable HLL distinct-count sketches (per crawl day /
+        stratum; union with textstats.merge_sketches, read with
+        estimate_distinct) — incremental corpus accounting without
+        re-scanning history."""
+        from raptor_rag_spark.operators.textstats import distinct_sketches
+
+        return distinct_sketches(docs, value_col, **kw)
+
     def select_to_token_budget(self, scored: DataFrame, budget: int, **kw) -> DataFrame:
         """Exact best-docs-first selection under a global token budget
         (two-phase distributed prefix sum) — see

@@ -463,3 +463,54 @@ def test_decontaminate_no_broadcast_parity(spark):
     b = sorted(map(tuple, decontaminate(docs, bench, n=3, threshold=0.4,
                                         broadcast_benchmark=False).collect()))
     assert a == b and len(a) >= 2
+
+
+# ------------------------------------------ mergeable HLL sketches
+
+
+def test_distinct_sketches_merge_equals_single_pass(spark):
+    """Union-of-daily-sketches == sketch-of-union (register-wise max):
+    estimates are IDENTICAL, not merely close — the property that makes
+    incremental crawl accounting exact w.r.t. the sketch state."""
+    from raptor_rag_spark.operators.textstats import (
+        distinct_sketches,
+        estimate_distinct,
+        merge_sketches,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 5).alias("day"),
+        (F.col("id") % 2).alias("lang"),
+        F.concat(F.lit("u"), (F.col("id") % 6000)).alias("url"),
+    )
+    daily = distinct_sketches(df, "url", key_cols=["day", "lang"])
+    merged = estimate_distinct(merge_sketches(daily, key_cols=["lang"]))
+    single = estimate_distinct(distinct_sketches(df, "url", key_cols=["lang"]))
+    got = {r["lang"]: (r["distinct_est"], r["n_rows"]) for r in merged.collect()}
+    want = {r["lang"]: (r["distinct_est"], r["n_rows"]) for r in single.collect()}
+    assert got == want
+    # estimate within ~3% of exact (3000 distinct urls per lang)
+    exact = {
+        r["lang"]: r["d"]
+        for r in df.groupBy("lang").agg(F.countDistinct("url").alias("d")).collect()
+    }
+    for lang, (est, n) in got.items():
+        assert abs(est - exact[lang]) / exact[lang] < 0.03
+        assert n == 10000
+
+
+def test_distinct_sketches_global_and_persist_roundtrip(spark, tmp_path):
+    from raptor_rag_spark.operators.textstats import (
+        distinct_sketches,
+        estimate_distinct,
+        merge_sketches,
+    )
+
+    df = spark.range(0, 5000).select(F.concat(F.lit("u"), (F.col("id") % 777)).alias("url"))
+    sk = distinct_sketches(df, "url")  # no keys -> one global row
+    p = str(tmp_path / "sk")
+    sk.write.parquet(p)  # sketches are plain binary columns
+    back = spark.read.parquet(p)
+    est = estimate_distinct(merge_sketches(back)).collect()[0]
+    assert abs(est["distinct_est"] - 777) / 777 < 0.03
+    assert est["n_rows"] == 5000
