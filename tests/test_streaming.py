@@ -403,13 +403,35 @@ def test_crawl_day_end_to_end(spark, tmp_path_factory):
     TileAnnIndex(leaves0.select("node_id", "embedding"), **kw).save(idx_path)
 
     # today's crawl: 8 fresh pages + 1 recrawl of an existing url
-    fresh = synthetic_pages(spark, n=8, seed=52).withColumn(
-        "page_id", F.col("page_id") + 8000
+    # + 1 FUZZY near-dup (new url, near-identical text) that the
+    # exact-url watermark dedup cannot catch
+    # seed 5200: datagen seeds rows by (seed + page_id), so seed 52
+    # ids 0-7 would EQUAL seed-51 ids 1-8 (exact text copies the fuzzy
+    # stage below would rightly drop); 5200 is outside 51+[0,40)
+    fresh = (
+        synthetic_pages(spark, n=8, seed=5200)
+        .withColumn("page_id", F.col("page_id") + 8000)
+        # datagen urls are /p/{pid} over zipf-skewed domains — fresh
+        # pids 0-7 collide with initial urls often enough to die in the
+        # left_anti below; re-key them unambiguously
+        .withColumn("url", F.concat(F.lit("https://fresh.test/p/"), F.col("page_id")))
     )
     recrawl = initial_pages.limit(1).withColumn(
         "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")
     )
-    batch = fresh.unionByName(initial_pages.limit(1)).unionByName(recrawl)
+    neardup = initial_pages.limit(1).select(
+        (F.col("page_id") + 9000).alias("page_id"),
+        F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
+        "warc_ts",
+        "html",
+        F.concat(F.col("text"), F.lit(" tiny tail")).alias("text"),
+        "lang",
+    )
+    batch = (
+        fresh.unionByName(initial_pages.limit(1))
+        .unionByName(recrawl)
+        .unionByName(neardup)
+    )
     batch.write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(batch.schema).parquet(src)
@@ -423,12 +445,27 @@ def test_crawl_day_end_to_end(spark, tmp_path_factory):
     )
     q.awaitTermination(120)
     deduped = spark.read.parquet(out)
-    # the recrawl was dropped; the url survives once
-    assert deduped.count() == 9
+    # the recrawl was dropped; the url survives once; the fuzzy
+    # near-dup sails through (different url)
+    assert deduped.count() == 10
     new_pages = deduped.join(
         initial_pages.select("url"), "url", "left_anti"
     ).localCheckpoint(eager=True)
+    assert new_pages.count() == 9
+
+    # fuzzy stage: the persisted minhash store (built on yesterday's
+    # corpus) drops the near-identical-text page the url dedup missed
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    mh = MinHashSignatureStore.build(
+        spark, initial_pages, str(root / "mh"),
+        id_col="page_id", text_col="text", n_buckets=4,
+    )
+    new_pages = mh.ingest(new_pages, threshold=0.8).localCheckpoint(eager=True)
     assert new_pages.count() == 8
+    assert new_pages.filter(F.col("page_id") >= 9000).count() == 0
+    for _t in mh.meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {_t}")
 
     new_leaves = incremental_level0(new_pages).localCheckpoint(eager=True)
     got_tree = incremental_update(
