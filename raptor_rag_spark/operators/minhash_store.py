@@ -347,11 +347,18 @@ class MinHashSignatureStore:
         """The per-crawl-day call: append the batch's signatures FIRST
         (so the returned plan is lazily safe), then scrub against
         store-minus-this-batch. Evaluate each ingest's result before
-        the next ingest. Returns the surviving batch rows."""
-        aid = self.append(batch)
-        exclude = set() if aid == "already_applied" else {aid}
+        the next ingest. Returns the surviving batch rows.
+
+        The exclusion aid is computed HERE (not taken from append's
+        return): on a clean retry append() reports already_applied,
+        and excluding nothing would let the batch's own earlier-
+        appended rows self-match at 1.0 and scrub every doc — a retry
+        must return the same survivors as the first call."""
+        id_col, text_col = self.meta["id_col"], self.meta["text_col"]
+        aid = "a-" + content_append_id(batch, [id_col, text_col])
+        self.append(batch, append_id=aid)
         return self.scrub_batch(
-            batch, threshold, exclude_aids=exclude, within_batch=within_batch
+            batch, threshold, exclude_aids={aid}, within_batch=within_batch
         )
 
     # ------------------------------------------------------------ upkeep

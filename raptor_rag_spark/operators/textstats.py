@@ -584,6 +584,12 @@ def select_to_token_budget(
     per-range-partition totals (<= shuffle parallelism rows). Rows
     with NULL score or NULL tokens are excluded (coalesce upstream to
     override).
+
+    The input plan is evaluated up to four times (min/max scan,
+    histogram, kept-bucket filter, boundary bucket) — pass a cached /
+    checkpointed DataFrame when the scoring upstream is expensive;
+    the operator deliberately does not pin a (potentially corpus-
+    sized) 3-column projection itself.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")

@@ -111,6 +111,31 @@ def test_ingest_first_copy_kept_and_within_batch(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ingest_retry_returns_same_survivors(spark, tmp_path):
+    """A clean ingest retry (append already applied) must return the
+    SAME survivors — the exclusion aid is recomputed from content, not
+    taken from append's already_applied return, so the batch's own
+    earlier-appended rows never self-match."""
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    seed = _df(spark, _corpus_rows(seed=40, n=6))
+    store = MinHashSignatureStore.build(
+        spark, seed, str(tmp_path / "mh3"),
+        n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, n_buckets=2,
+    )
+    batch = _df(
+        spark,
+        _corpus_rows(seed=41, n=4, start_id=50)
+        + [(60, seed.orderBy("doc_id").first()["text"] + " t")],  # drops
+    )
+    first = {r["doc_id"] for r in store.ingest(batch, threshold=THRESH).collect()}
+    assert 60 not in first and first
+    retry = {r["doc_id"] for r in store.ingest(batch, threshold=THRESH).collect()}
+    assert retry == first
+    for t in store.meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_append_idempotency_and_replay_self_heal(spark, store_and_corpus):
     store, corpus = store_and_corpus
     batch = _df(spark, _corpus_rows(seed=23, n=6, start_id=200))
