@@ -863,11 +863,13 @@ def main() -> None:
         )
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # pin the scored projection — the selection evaluates its input
+        # up to 4 times plus the total agg (operator docstring)
         scored = quality_metrics(docs).select(
             "doc_id",
             "quality_score",
             F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)).alias("n_tokens"),
-        )
+        ).localCheckpoint(eager=False)
         total_toks = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
         select_to_token_budget(scored, int(total_toks) * 2 // 5).write.format(
             "noop"

@@ -278,6 +278,45 @@ def make_exact_jaccard_udf(shingle_n: int = 3):
     return jacc
 
 
+def est_pairs_from_sigs(
+    sig: DataFrame, n_hashes: int, bands: int, min_est: float
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) with id_a < id_b and est >= min_est —
+    the LSH candidate + signature-agreement estimate stage over a
+    precomputed (id, sig) frame. The ONE implementation of this shape:
+    minhash_dedup_pairs wraps it for whole-corpus batch dedup and
+    MinHashSignatureStore uses it for within-batch drops at ingest, so
+    the band/estimate logic cannot drift between them."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for bi in range(bands):
+        band = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(F.lit(bi).alias("band_idx"), F.hash(band).alias("band_hash")))
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(n_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= min_est)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -302,44 +341,17 @@ def minhash_dedup_pairs(
     estimator's std at 64 hashes is ~sqrt(J(1-J)/64) <= 0.063, so 0.15
     (~2.4 sigma) cuts the verify fan-in with negligible recall effect;
     pass float('inf')-like slack (e.g. 1.0) to disable."""
-    rows_per_band = n_hashes // bands
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
     sig = df.select(
         F.col(id_col).alias("id"),
         make_minhash_udf(n_hashes, shingle_n)(F.col(text_col)).alias("sig"),
     ).filter(F.col("sig").isNotNull())
-    band_cols = []
-    for bi in range(bands):
-        band = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
-        band_cols.append(F.struct(F.lit(bi).alias("band_idx"), F.hash(band).alias("band_hash")))
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
-    )
-    pairs = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band_idx", "band_hash"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
-    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-            / F.lit(float(n_hashes)),
-        )
-        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-    )
     if not verify:
-        return est.filter(F.col("est_jaccard") >= threshold)
+        return est_pairs_from_sigs(sig, n_hashes, bands, threshold)
     # pre-filter BEFORE the two text joins: est is already computed, so
     # this costs one comparison and saves the text shuffle for the
     # (majority) band-collision pairs far below threshold
-    est = est.filter(F.col("est_jaccard") >= threshold - prefilter_slack)
+    est = est_pairs_from_sigs(sig, n_hashes, bands, threshold - prefilter_slack)
     jacc = make_exact_jaccard_udf(shingle_n)
     verified = (
         est.join(texts.select(F.col("id").alias("id_a"), F.col("_txt").alias("_ta")), "id_a")

@@ -104,11 +104,16 @@ class MinHashSignatureStore:
 
     def _register(self) -> None:
         """(Re-)register both external bucketed tables — catalog
-        metadata is session-scoped, the bucketed files are not."""
+        metadata is session-scoped, the bucketed files are not. The id
+        column's type comes from meta (recorded at build): a store
+        built over string/int ids must re-register with the type the
+        parquet files actually hold, or every fresh-session read fails
+        schema conversion."""
         n = int(self.meta["n_buckets"])
+        idt = self.meta.get("id_type", "bigint")
         ddl = {
-            _SIGS: ("(id BIGINT, sig ARRAY<BIGINT>, _aid STRING)", "id"),
-            _BANDS: ("(_bh BIGINT, id BIGINT, _aid STRING)", "_bh"),
+            _SIGS: (f"(id {idt}, sig ARRAY<BIGINT>, _aid STRING)", "id"),
+            _BANDS: (f"(_bh BIGINT, id {idt}, _aid STRING)", "_bh"),
         }
         for which, (schema, key) in ddl.items():
             if self.spark.catalog.tableExists(self._table(which)):
@@ -171,6 +176,7 @@ class MinHashSignatureStore:
             "shingle_n": int(shingle_n),
             "n_buckets": int(n_buckets),
             "id_col": id_col,
+            "id_type": docs.schema[id_col].dataType.simpleString(),
             "text_col": text_col,
             "tables": {_SIGS: f"mh_sigs_{digest}", _BANDS: f"mh_bands_{digest}"},
             "applied_appends": ["base"],
@@ -210,11 +216,15 @@ class MinHashSignatureStore:
         append_id: str | None = None,
         id_col: str | None = None,
         text_col: str | None = None,
+        _sig: DataFrame | None = None,
     ) -> str:
         """O(new): append the batch's signatures and band keys tagged
         with a content-derived append id. Ledger committed LAST; a
         clean retry no-ops; a replay after a lost meta write self-heals
-        at read time (see `_sigs` / `_bands`)."""
+        at read time (see `_sigs` / `_bands`). ``_sig``: a precomputed
+        checkpointed (id, sig) frame — ingest() signs the batch ONCE
+        and threads it through append/match/within-batch so the Arrow
+        kernel (the dominant CPU cost) runs a single pass."""
         id_col = id_col or self.meta["id_col"]
         text_col = text_col or self.meta["text_col"]
         self._heal()
@@ -222,8 +232,10 @@ class MinHashSignatureStore:
         if aid in self.meta["applied_appends"]:
             return "already_applied"
         self._register()
-        sig = self._sign(batch, id_col, text_col).withColumn("_aid", F.lit(aid))
-        sig = sig.localCheckpoint(eager=False)
+        base = _sig if _sig is not None else self._sign(batch, id_col, text_col)
+        sig = base.withColumn("_aid", F.lit(aid))
+        if _sig is None:
+            sig = sig.localCheckpoint(eager=False)
         (
             sig.select("id", "sig", "_aid").write.mode("append").format("parquet")
             .bucketBy(int(self.meta["n_buckets"]), "id").sortBy("id")
@@ -248,6 +260,7 @@ class MinHashSignatureStore:
         exclude_aids: set[str] | None = None,
         id_col: str | None = None,
         text_col: str | None = None,
+        _sig: DataFrame | None = None,
     ) -> DataFrame:
         """(batch_id, store_id, est_jaccard) — batch docs whose
         signature agrees with a stored signature on >= threshold of
@@ -259,8 +272,9 @@ class MinHashSignatureStore:
         id_col = id_col or self.meta["id_col"]
         text_col = text_col or self.meta["text_col"]
         self._heal()
-        bsig = self._sign(batch, id_col, text_col)
-        bsig = bsig.localCheckpoint(eager=False)  # kernel runs once
+        bsig = _sig if _sig is not None else self._sign(
+            batch, id_col, text_col
+        ).localCheckpoint(eager=False)  # kernel runs once
         bb = band_keys(bsig, self.n_hashes, self.bands)
         sb, ss = self._bands(), self._sigs()
         if exclude_aids:
@@ -298,43 +312,32 @@ class MinHashSignatureStore:
         within_batch: bool = False,
         id_col: str | None = None,
         text_col: str | None = None,
+        _sig: DataFrame | None = None,
     ) -> DataFrame:
         """Batch rows whose content is NOT a near-duplicate of anything
         already in the store (est_jaccard >= threshold). With
         `within_batch=True`, a batch doc matching a SMALLER-id batch
-        doc also drops (greedy keep-min-id — one LSH pass, not a full
-        transitive clustering; `graph.connected_components` exists for
-        canonical cluster collapse when needed).
+        doc also drops (greedy keep-min-id — one LSH pass via the
+        shared `dedup.est_pairs_from_sigs` stage, not a full transitive
+        clustering; `graph.connected_components` exists for canonical
+        cluster collapse when needed).
 
         LAZINESS: the plan reads the LIVE tables at action time —
         evaluate it before the next append/ingest or later batches'
         rows inflate the match set; `ingest()` is the safe composed
         call (append first, then exclude the batch's own aid)."""
+        from raptor_rag_spark.operators.dedup import est_pairs_from_sigs
+
         id_col = id_col or self.meta["id_col"]
         text_col = text_col or self.meta["text_col"]
+        if _sig is None and within_batch:  # one kernel pass for both uses
+            _sig = self._sign(batch, id_col, text_col).localCheckpoint(eager=False)
         drops = self.match_batch(
-            batch, threshold, exclude_aids, id_col, text_col
+            batch, threshold, exclude_aids, id_col, text_col, _sig=_sig
         ).select(F.col("batch_id").alias(id_col)).distinct()
         if within_batch:
-            bsig = self._sign(batch, id_col, text_col).localCheckpoint(eager=False)
-            bb = band_keys(bsig, self.n_hashes, self.bands)
-            pairs = (
-                bb.alias("l")
-                .join(bb.alias("r"), "_bh")
-                .filter(F.col("l.id") < F.col("r.id"))
-                .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-                .distinct()
-            )
-            sa = bsig.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
-            sb_ = bsig.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
             inner = (
-                pairs.join(sa, "id_a").join(sb_, "id_b")
-                .withColumn(
-                    "_est",
-                    F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v))
-                    / F.lit(float(self.n_hashes)),
-                )
-                .filter(F.col("_est") >= threshold)
+                est_pairs_from_sigs(_sig, self.n_hashes, self.bands, threshold)
                 .select(F.col("id_b").alias(id_col))
                 .distinct()
             )
@@ -353,12 +356,16 @@ class MinHashSignatureStore:
         return): on a clean retry append() reports already_applied,
         and excluding nothing would let the batch's own earlier-
         appended rows self-match at 1.0 and scrub every doc — a retry
-        must return the same survivors as the first call."""
+        must return the same survivors as the first call. The batch is
+        signed ONCE (checkpointed) and the frame threads through
+        append, the store match, and the within-batch pass."""
         id_col, text_col = self.meta["id_col"], self.meta["text_col"]
         aid = "a-" + content_append_id(batch, [id_col, text_col])
-        self.append(batch, append_id=aid)
+        sig = self._sign(batch, id_col, text_col).localCheckpoint(eager=False)
+        self.append(batch, append_id=aid, _sig=sig)
         return self.scrub_batch(
-            batch, threshold, exclude_aids={aid}, within_batch=within_batch
+            batch, threshold, exclude_aids={aid},
+            within_batch=within_batch, _sig=sig,
         )
 
     # ------------------------------------------------------------ upkeep

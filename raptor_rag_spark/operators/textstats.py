@@ -680,7 +680,9 @@ def distinct_sketches(
 ) -> DataFrame:
     """Per-group mergeable HLL sketches of ``value_col`` (Apache
     DataSketches binary via Spark's built-in `hll_sketch_agg`) plus the
-    exact in-group row count. The crawl-accounting primitive: persist
+    exact NON-NULL value count (`n_rows` — same null semantics as the
+    sketch itself, which also skips NULLs; count rows separately if
+    NULL values must be ledgered). The crawl-accounting primitive: persist
     one sketch row per (crawl day, stratum) and answer "distinct urls
     this month/against all history" by UNIONING sketches
     (`merge_sketches`) — never by re-scanning raw data. Register-wise

@@ -1217,11 +1217,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("grp"),
         F.col("epoch").cast("long").alias("n"),
     )
+    # pin the 3-column scored projection: the selection evaluates its
+    # input up to 4 times (operator docstring) + the total agg below —
+    # without this the regex-heavy quality scan re-runs ~5x
     scored = quality_metrics(docs).select(
         "doc_id",
         "quality_score",
         F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     total = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
     sel = select_to_token_budget(
         scored, budget=int(total) * 2 // 5, num_buckets=64

@@ -189,6 +189,35 @@ def test_store_side_plans_zero_exchanges(spark, store_and_corpus):
     assert "Bucketed: true" in plan
 
 
+def test_string_id_store_survives_reregistration(spark, tmp_path):
+    """A store over non-bigint ids must reload in a fresh session: the
+    DDL re-registration takes the id type from meta, not a hard-coded
+    BIGINT (which made every fresh-session read fail schema
+    conversion for string/int ids)."""
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", t) for i, (_, t) in enumerate(_corpus_rows(seed=45, n=8))],
+        "url string, text string",
+    )
+    store = MinHashSignatureStore.build(
+        spark, docs, str(tmp_path / "mhs"),
+        id_col="url", n_hashes=N_HASHES, bands=BANDS, n_buckets=2,
+    )
+    probe = spark.createDataFrame(
+        [("p0", docs.orderBy("url").first()["text"] + " t")], "url string, text string"
+    )
+    want = _pairs(store.match_batch(probe, threshold=THRESH))
+    assert want
+    for t in store.meta["tables"].values():
+        spark.sql(f"DROP TABLE {t}")  # fresh-session simulation
+    re = MinHashSignatureStore.load(spark, store.path)
+    assert re.meta["id_type"] == "string"
+    assert _pairs(re.match_batch(probe, threshold=THRESH)) == want
+    for t in store.meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_reregister_after_catalog_loss(spark, store_and_corpus):
     from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
     from raptor_rag_spark.sources.bucketed import n_exchanges
