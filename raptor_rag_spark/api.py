@@ -500,6 +500,10 @@ class RaptorEngine:
         decontam_threshold: float = 0.5,
         max_per_stratum: int | None = None,
         stratum_col: str = "source",
+        token_budget: int | None = None,
+        mixture_rates_pct: dict[str, int] | None = None,
+        mixture_default_pct: int = 100,
+        mixture_stratum_col: str = "lang",
     ) -> DataFrame:
         """The full webtext training-corpus pipeline as ONE call — the
         composition a user of this engine actually runs, in the
@@ -537,10 +541,21 @@ class RaptorEngine:
            flagged docs anti-joined out.
         10. domain cap (`max_per_stratum`): seeded-hash rank cap per
            `stratum_col`.
+        11. token-budget selection (`token_budget`): exact
+           best-quality-first prefix under a global token budget —
+           the select-to-compute-budget step; scores/token counts come
+           from the same quality_metrics expressions as stage 4. This
+           stage materializes the scored projection once (bounded
+           driver collects — see select_to_token_budget).
+        12. mixture sampling (`mixture_rates_pct`): weighted per-source
+           up/down-sampling with an `epoch` column appended — the
+           LAST stage, after every filter, so epochs multiply only
+           surviving docs.
 
         Returns the cleaned docs DataFrame with the original columns
-        (text scrubbed/rebuilt). Chunk/pack/export the result with
-        pack_training_sequences / export_training_order.
+        (text scrubbed/rebuilt; plus `epoch` when stage 12 ran).
+        Chunk/pack/export the result with pack_training_sequences /
+        export_training_order.
         """
         from raptor_rag_spark.operators.textstats import (
             lang_id,
@@ -611,6 +626,26 @@ class RaptorEngine:
 
             out = cap_per_stratum(
                 out, cap=max_per_stratum, stratum_col=stratum_col, id_col=id_col
+            )
+        if token_budget is not None:
+            from raptor_rag_spark.operators.textstats import select_to_token_budget
+
+            scored = quality_metrics(out, text_col=text_col, id_col=id_col).select(
+                id_col,
+                "quality_score",
+                F.coalesce(F.col("n_tokens").cast("long"), F.lit(0)).alias("n_tokens"),
+            ).localCheckpoint(eager=False)
+            keep = select_to_token_budget(
+                scored, token_budget, id_col=id_col
+            ).select(id_col)
+            out = out.join(keep, id_col, "left_semi")
+        if mixture_rates_pct is not None:
+            from raptor_rag_spark.operators.textstats import sample_mixture
+
+            out = sample_mixture(
+                out, rates_pct=mixture_rates_pct,
+                default_pct=mixture_default_pct,
+                stratum_col=mixture_stratum_col, id_col=id_col,
             )
         return out
 

@@ -365,3 +365,45 @@ def test_prepare_training_corpus_stages_toggle(spark, tmp_path):
         docs, scrub=False, min_quality=None, dedup=None, max_per_stratum=1
     )
     assert capped.count() == 2
+
+
+def test_prepare_training_corpus_budget_and_mixture(spark, tmp_path):
+    """Stages 11+12: token-budget selection keeps the best-quality
+    prefix of survivors; mixture sampling runs LAST so epochs multiply
+    only surviving docs."""
+    from raptor_rag_spark.api import RaptorEngine
+
+    good = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "and watches the quiet water move past the old stone bridge"
+    )
+    rows = (
+        # high-quality docs, lang en (tokens ~22 each)
+        [(i, "en", good + f" marker{i}") for i in range(4)]
+        # a low-quality doc (digits-heavy -> score penalty)
+        + [(10, "en", "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    eng = RaptorEngine(spark, str(tmp_path / "ck"))
+
+    # budget = exactly 3 good docs' tokens: best-scored prefix survives
+    from raptor_rag_spark.tokenizer import spark_token_count
+
+    t = docs.filter("doc_id = 0").select(
+        spark_token_count(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    out = eng.prepare_training_corpus(
+        docs, min_quality=None, dedup=None, token_budget=3 * t,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 10 not in kept  # low score orders last, over budget
+    assert kept == {0, 1, 2}  # score ties -> doc_id asc prefix
+
+    # mixture as the last stage: epochs only for survivors
+    out2 = eng.prepare_training_corpus(
+        docs, min_quality=0.9, dedup=None,
+        mixture_rates_pct={"en": 200}, mixture_stratum_col="lang",
+    )
+    got = [(r["doc_id"], r["epoch"]) for r in out2.collect()]
+    assert {d for d, _ in got} == {0, 1, 2, 3}  # doc 10 filtered first
+    assert sorted(e for d, e in got if d == 0) == [0, 1]
