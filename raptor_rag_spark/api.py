@@ -649,6 +649,71 @@ class RaptorEngine:
             )
         return out
 
+    def corpus_report(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        stratum_col: str = "lang",
+        top_n: int = 10,
+    ) -> dict:
+        """One-pass-per-section corpus health summary — the first thing
+        a data engineer runs on a new crawl drop. Returns a small dict
+        (driver-side by design: every aggregate is bounded):
+
+        - n_docs / n_null_text / total_tokens
+        - exact-dup rate (normalized-hash groups)
+        - distinct-content estimate (HLL sketch over the dedup key)
+        - quality score percentiles (p10/p50/p90)
+        - per-stratum doc counts (top ``top_n``)
+
+        Heavy diagnostics stay in their own operators (top_terms,
+        repetition_metrics, lm_doc_scores, minhash pairs) — this is the
+        cheap always-run tier: two shuffles total (the dedup-key agg
+        and the stratum count), everything else map-side."""
+        from raptor_rag_spark.operators.dedup import normalized_text
+        from raptor_rag_spark.operators.textstats import quality_metrics
+        from raptor_rag_spark.tokenizer import spark_token_count
+
+        t = F.col(text_col)
+        base = docs.select(
+            F.col(id_col),
+            t.isNull().cast("int").alias("_isnull"),
+            F.coalesce(spark_token_count(t).cast("long"), F.lit(0)).alias("_tok"),
+            F.md5(normalized_text(t)).alias("_key"),
+        )
+        agg = base.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_isnull").alias("n_null_text"),
+            F.sum("_tok").alias("total_tokens"),
+            F.countDistinct("_key").alias("n_distinct"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("_key")).alias("distinct_est"),
+        ).collect()[0]
+        q = quality_metrics(docs, text_col=text_col, id_col=id_col)
+        pct = q.agg(
+            F.percentile_approx("quality_score", [0.1, 0.5, 0.9]).alias("p")
+        ).collect()[0]["p"]
+        strata = (
+            docs.groupBy(stratum_col)
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc(stratum_col))
+            .limit(top_n)
+            .collect()
+        )
+        n_docs = agg["n_docs"]
+        n_nonnull = n_docs - agg["n_null_text"]
+        return {
+            "n_docs": n_docs,
+            "n_null_text": agg["n_null_text"],
+            "total_tokens": agg["total_tokens"],
+            "exact_dup_rate": round(
+                (n_nonnull - agg["n_distinct"]) / n_nonnull, 6
+            ) if n_nonnull else 0.0,
+            "distinct_content_est": agg["distinct_est"],
+            "quality_p10_p50_p90": [round(v, 6) for v in pct],
+            "strata_top": {r[stratum_col]: r["n"] for r in strata},
+        }
+
     def pack_training_sequences(
         self, chunks: DataFrame, max_tokens: int, seed: int = 0, **kw
     ) -> DataFrame:

@@ -407,3 +407,27 @@ def test_prepare_training_corpus_budget_and_mixture(spark, tmp_path):
     got = [(r["doc_id"], r["epoch"]) for r in out2.collect()]
     assert {d for d, _ in got} == {0, 1, 2, 3}  # doc 10 filtered first
     assert sorted(e for d, e in got if d == 0) == [0, 1]
+
+
+def test_corpus_report(spark, tmp_path):
+    from raptor_rag_spark.api import RaptorEngine
+
+    good = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank and watches the quiet water move past the stone bridge"
+    )
+    rows = (
+        [(i, "en", good + f" v{i}") for i in range(6)]
+        + [(10, "de", good + " v0")]      # exact dup of doc 0 (normalized)
+        + [(11, "de", None)]              # NULL text
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rep = RaptorEngine(spark, str(tmp_path / "ck")).corpus_report(docs)
+    assert rep["n_docs"] == 8
+    assert rep["n_null_text"] == 1
+    assert rep["exact_dup_rate"] == round(1 / 7, 6)  # 7 non-null, 6 distinct
+    assert abs(rep["distinct_content_est"] - 6) <= 1
+    assert rep["strata_top"] == {"en": 6, "de": 2}
+    assert rep["total_tokens"] > 0
+    p10, p50, p90 = rep["quality_p10_p50_p90"]
+    assert 0.0 <= p10 <= p50 <= p90 <= 1.0
