@@ -510,8 +510,11 @@ class RaptorEngine:
         standard published order (CCNet / C4 / Gopher / RefinedWeb /
         Dolma practice). Every stage is an engine operator documented
         and evidenced on its own; this facade only sequences them. All
-        stages except the optional LM pass are a single lazy plan —
-        nothing materializes until the caller writes.
+        stages except the optional LM pass (stage 6) and token-budget
+        selection (stage 11) compose into a single lazy plan — those
+        two run bounded jobs at CALL time (the LM trains on the corpus;
+        the selection's histogram/offset collects execute the upstream
+        pipeline), so set them only when the inputs are ready to scan.
 
         Stages (each optional via its parameter):
 
@@ -669,30 +672,31 @@ class RaptorEngine:
 
         Heavy diagnostics stay in their own operators (top_terms,
         repetition_metrics, lm_doc_scores, minhash pairs) — this is the
-        cheap always-run tier: two shuffles total (the dedup-key agg
-        and the stratum count), everything else map-side."""
+        cheap always-run tier: ONE pass over the text (the quality
+        projection carries the dedup key and null flag via the `extra`
+        hook, the same trick as quality_signals) + the stratum count;
+        every aggregate is bounded and empty input reports zeros."""
         from raptor_rag_spark.operators.dedup import normalized_text
         from raptor_rag_spark.operators.textstats import quality_metrics
-        from raptor_rag_spark.tokenizer import spark_token_count
 
         t = F.col(text_col)
-        base = docs.select(
-            F.col(id_col),
-            t.isNull().cast("int").alias("_isnull"),
-            F.coalesce(spark_token_count(t).cast("long"), F.lit(0)).alias("_tok"),
-            F.md5(normalized_text(t)).alias("_key"),
+        base = quality_metrics(
+            docs, text_col=text_col, id_col=id_col,
+            extra=[
+                t.isNull().cast("int").alias("_isnull"),
+                F.md5(normalized_text(t)).alias("_key"),
+            ],
         )
         agg = base.agg(
             F.count("*").alias("n_docs"),
             F.sum("_isnull").alias("n_null_text"),
-            F.sum("_tok").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("n_tokens").cast("long"), F.lit(0))).alias(
+                "total_tokens"
+            ),
             F.countDistinct("_key").alias("n_distinct"),
             F.hll_sketch_estimate(F.hll_sketch_agg("_key")).alias("distinct_est"),
+            F.percentile_approx("quality_score", [0.1, 0.5, 0.9]).alias("pct"),
         ).collect()[0]
-        q = quality_metrics(docs, text_col=text_col, id_col=id_col)
-        pct = q.agg(
-            F.percentile_approx("quality_score", [0.1, 0.5, 0.9]).alias("p")
-        ).collect()[0]["p"]
         strata = (
             docs.groupBy(stratum_col)
             .agg(F.count("*").alias("n"))
@@ -701,16 +705,18 @@ class RaptorEngine:
             .collect()
         )
         n_docs = agg["n_docs"]
-        n_nonnull = n_docs - agg["n_null_text"]
+        n_null = int(agg["n_null_text"] or 0)
+        n_nonnull = n_docs - n_null
+        n_distinct = int(agg["n_distinct"] or 0)
         return {
             "n_docs": n_docs,
-            "n_null_text": agg["n_null_text"],
-            "total_tokens": agg["total_tokens"],
+            "n_null_text": n_null,
+            "total_tokens": int(agg["total_tokens"] or 0),
             "exact_dup_rate": round(
-                (n_nonnull - agg["n_distinct"]) / n_nonnull, 6
+                (n_nonnull - n_distinct) / n_nonnull, 6
             ) if n_nonnull else 0.0,
-            "distinct_content_est": agg["distinct_est"],
-            "quality_p10_p50_p90": [round(v, 6) for v in pct],
+            "distinct_content_est": int(agg["distinct_est"] or 0),
+            "quality_p10_p50_p90": [round(v, 6) for v in (agg["pct"] or [])],
             "strata_top": {r[stratum_col]: r["n"] for r in strata},
         }
 

@@ -431,3 +431,14 @@ def test_corpus_report(spark, tmp_path):
     assert rep["total_tokens"] > 0
     p10, p50, p90 = rep["quality_p10_p50_p90"]
     assert 0.0 <= p10 <= p50 <= p90 <= 1.0
+
+
+def test_corpus_report_empty_input(spark, tmp_path):
+    from raptor_rag_spark.api import RaptorEngine
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    rep = RaptorEngine(spark, str(tmp_path / "ck")).corpus_report(empty)
+    assert rep["n_docs"] == 0 and rep["n_null_text"] == 0
+    assert rep["total_tokens"] == 0 and rep["exact_dup_rate"] == 0.0
+    assert rep["distinct_content_est"] == 0
+    assert rep["quality_p10_p50_p90"] == [] and rep["strata_top"] == {}
