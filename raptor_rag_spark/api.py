@@ -489,6 +489,7 @@ class RaptorEngine:
         url_col: str | None = None,
         ts_col: str = "warc_ts",
         scrub: bool = True,
+        c4_rules: bool = False,
         boilerplate_min_doc_frac: float | None = None,
         min_quality: float | None = 0.5,
         languages: list[str] | None = None,
@@ -522,7 +523,11 @@ class RaptorEngine:
         2. PII scrub (`scrub`): map-only redaction; downstream signals
            and dedup see the scrubbed text (placeholders are stable, so
            dedup keys are unaffected by WHERE a redaction happened).
-        3. boilerplate strip (`boilerplate_min_doc_frac`): DF-based
+        3. C4 rule set (`c4_rules`): terminal-punctuation + min-words
+           line filter, >=3-surviving-lines / lorem-ipsum / brace page
+           drops — map-only, text rebuilt in place; pages failing the
+           rules drop entirely.
+        3b. boilerplate strip (`boilerplate_min_doc_frac`): DF-based
            line removal, text rebuilt in place. NULL-text docs do not
            survive this stage (they produce no lines to rebuild) —
            consistent with stage 4, which scores NULL text 0.0.
@@ -577,6 +582,15 @@ class RaptorEngine:
             out = self.scrub_pii(out, text_col=text_col).drop(
                 "n_email", "n_ipv4", "n_phone", "n_pii"
             )
+        if c4_rules:
+            from raptor_rag_spark.operators.textstats import c4_line_filters
+
+            rebuilt = (
+                c4_line_filters(out, text_col=text_col, id_col=id_col)
+                .filter("kept")
+                .select(id_col, text_col)
+            )
+            out = out.drop(text_col).join(rebuilt, id_col)
         if boilerplate_min_doc_frac is not None:
             rebuilt = self.drop_boilerplate_lines(
                 out, id_col=id_col, text_col=text_col,

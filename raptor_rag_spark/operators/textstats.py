@@ -667,6 +667,51 @@ def select_to_token_budget(
     return full.unionByName(kept_boundary)
 
 
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020, public spec):
+    keep only lines that end in a terminal punctuation mark (. ! ? ")
+    AND contain >= ``min_words_per_line`` words; drop the whole page
+    when fewer than ``min_lines`` lines survive, when it contains
+    "lorem ipsum" (any case), or when it contains a curly brace
+    (code). Output: (id, n_lines, n_kept, kept, text) — ``text`` is
+    the kept lines rejoined (NULL when the page drops).
+
+    Entirely map-side array HOFs (split -> filter -> array_join): the
+    text never shuffles and no Python runs — unlike the DF-based
+    paragraph ops (corpus-wide aggregation), C4's rules are per-page,
+    so the scale cost is one projection. Trailing whitespace before
+    the terminal mark is tolerated ([.!?"]\\s*$), matching both
+    engines' regex semantics."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    words = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(ln, r"\s+"), lambda w: w != "")
+    )
+    keep_line = lambda ln: ln.rlike('[.!?"]\\s*$') & (  # noqa: E731
+        words(ln) >= min_words_per_line
+    )
+    kept_lines = F.filter(lines, keep_line)
+    n_kept = F.size(kept_lines)
+    page_ok = (
+        (n_kept >= min_lines)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.size(lines), F.lit(0)).alias("n_lines"),
+        F.coalesce(n_kept, F.lit(0)).alias("n_kept"),
+        F.coalesce(page_ok, F.lit(False)).alias("kept"),
+        F.when(page_ok, F.array_join(kept_lines, "\n")).alias(text_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable distinct-count sketches (incremental corpus accounting)
 # ---------------------------------------------------------------------------

@@ -220,24 +220,70 @@ SESSION_SQL_DUCK = SESSION_SQL_CORE.format(epoch="CAST(FLOOR(epoch(ts)) AS BIGIN
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1/P2: sentence split + token counts per document."""
+    """P1/P2 tagged union: kind='doc' = sentence/token counts per
+    document; kind='sentence' = each non-blank sentence with its token
+    count (merged to free a contract slot for c4_filters; 50-entry
+    driver record cap)."""
     docs = _t(spark, sf_dir, "documents")
     sentences = F.split(F.col("text"), r"\.|!|\?|\n")
     non_empty = F.filter(sentences, lambda s: F.trim(s) != "")
-    return docs.select(
+    doc = docs.select(
+        F.lit("doc").alias("kind"),
         "doc_id",
+        F.lit(None).cast("string").alias("sentence"),
         spark_token_count(F.col("text")).alias("n_tokens"),
         F.size(non_empty).alias("n_sentences"),
     )
+    sent = (
+        docs.select("doc_id", F.explode(sentences).alias("sentence"))
+        .filter(F.trim(F.col("sentence")) != "")
+        .select(
+            F.lit("sentence").alias("kind"),
+            "doc_id",
+            "sentence",
+            spark_token_count(F.col("sentence")).alias("n_tokens"),
+            F.lit(None).cast("int").alias("n_sentences"),
+        )
+    )
+    return doc.unionByName(sent)
 
 
-def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 exploded: each non-blank sentence with its token count."""
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rule set (terminal-punct + >=5-word line filter,
+    >=3 surviving lines, lorem-ipsum/brace page drops) — map-side
+    array HOFs, text never shuffles; md5 of the rebuilt text under the
+    hash gate."""
+    from raptor_rag_spark.operators.textstats import c4_line_filters
+
     docs = _t(spark, sf_dir, "documents")
-    sentences = F.split(F.col("text"), r"\.|!|\?|\n")
-    df = docs.select("doc_id", F.explode(sentences).alias("sentence"))
-    df = df.filter(F.trim(F.col("sentence")) != "")
-    return df.withColumn("n_tokens", spark_token_count(F.col("sentence")))
+    # the synthetic corpus is punctuation-free single-line keyword text
+    # (every doc would drop at the >=3-lines rule): construct the line
+    # structure deterministically in-query — 6-word lines terminated
+    # with periods, a lorem-ipsum line planted on doc_id%5, a brace
+    # line on doc_id%7 — so BOTH branches of every rule exercise
+    # (decontam/pii precedent; replacement parity Spark $1 / DuckDB \\1
+    # verified)
+    lineified = F.regexp_replace("text", r"((\S+ ){5}\S+) ", "$1.\n")
+    planted = F.concat(
+        lineified,
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nthis padded line has lorem ipsum inside it."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nthis line carries a { brace marker here."),
+        ).otherwise(F.lit("")),
+    )
+    docs = docs.withColumn("text", planted)
+    out = c4_line_filters(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        "kept",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,7 +1311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window": q_tumbling_window,
     "sessionize": q_sessionize,
     "doc_stats": q_doc_stats,
-    "sentences": q_sentences,
+    "c4_filters": q_c4_filters,
     "dedup_exact": q_dedup_exact,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -2053,17 +2099,45 @@ FROM events GROUP BY 1, 2
 """,
         "sessionize": SESSION_SQL_DUCK,
         "doc_stats": f"""
-SELECT doc_id,
+SELECT 'doc' AS kind, doc_id, CAST(NULL AS VARCHAR) AS sentence,
        CAST({duckdb_token_count_expr('text')} AS INT) AS n_tokens,
        CAST(len(list_filter(string_split_regex(text, '\\.|!|\\?|\\n'), s -> trim(s) <> '')) AS INT) AS n_sentences
 FROM documents
-""",
-        "sentences": f"""
-SELECT doc_id, sentence, CAST({duckdb_token_count_expr('sentence')} AS INT) AS n_tokens
+UNION ALL
+SELECT 'sentence' AS kind, doc_id, sentence,
+       CAST({duckdb_token_count_expr('sentence')} AS INT) AS n_tokens,
+       CAST(NULL AS INT) AS n_sentences
 FROM (
   SELECT doc_id, unnest(string_split_regex(text, '\\.|!|\\?|\\n')) AS sentence
   FROM documents
 ) WHERE trim(sentence) <> ''
+""",
+        "c4_filters": """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){5}\\S+) ', '\\1.' || chr(10), 'g')
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this padded line has lorem ipsum inside it.' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'this line carries a { brace marker here.' ELSE '' END AS text
+  FROM documents
+), k AS (
+  SELECT doc_id, text,
+         COALESCE(len(string_split(text, chr(10))), 0) AS n_lines,
+         list_filter(string_split(text, chr(10)),
+           x -> regexp_matches(x, '[.!?"]\\s*$')
+            AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 5
+         ) AS kept_lines
+  FROM d
+), f AS (
+  SELECT doc_id, text, n_lines,
+         COALESCE(len(kept_lines), 0) AS n_kept, kept_lines,
+         COALESCE(len(kept_lines) >= 3
+           AND NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{'), FALSE) AS kept
+  FROM k
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(n_kept AS INT) AS n_kept, kept,
+       CASE WHEN kept THEN md5(array_to_string(kept_lines, chr(10))) END AS text_md5
+FROM f
 """,
         "dedup_exact": """
 SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups

@@ -442,3 +442,55 @@ def test_corpus_report_empty_input(spark, tmp_path):
     assert rep["total_tokens"] == 0 and rep["exact_dup_rate"] == 0.0
     assert rep["distinct_content_est"] == 0
     assert rep["quality_p10_p50_p90"] == [] and rep["strata_top"] == {}
+
+
+# ---------------------------------------------------------------------------
+# C4 rule set
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_filters_rules(spark):
+    from raptor_rag_spark.operators.textstats import c4_line_filters
+
+    L = "this line has enough words here."   # keeps
+    short = "too few words."                  # < 5 words -> drops
+    nopunct = "this line has enough words but no mark"  # drops
+    rows = [
+        (0, f"{L}\n{L}\n{L}"),                       # 3 good lines -> kept
+        (1, f"{L}\n{L}"),                            # only 2 -> page drops
+        (2, f"{L}\n{short}\n{nopunct}\n{L}\n{L}"),   # bad lines filtered, 3 survive
+        (3, f"{L}\n{L}\n{L}\nsee Lorem Ipsum text"), # lorem -> page drops
+        (4, f"{L}\n{L}\n{L}\nvar x = {{}}"),         # brace -> page drops
+        (5, None),                                    # NULL text
+        (6, f"{L}   \n{L}\n{L}"),                    # trailing spaces tolerated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filters(df).collect()}
+    assert out[0]["kept"] and out[0]["text"] == f"{L}\n{L}\n{L}"
+    assert not out[1]["kept"] and out[1]["text"] is None
+    assert out[2]["kept"] and (out[2]["n_lines"], out[2]["n_kept"]) == (5, 3)
+    assert out[2]["text"] == f"{L}\n{L}\n{L}"
+    assert not out[3]["kept"] and out[3]["n_kept"] >= 3  # page rule, not lines
+    assert not out[4]["kept"]
+    assert not out[5]["kept"] and (out[5]["n_lines"], out[5]["n_kept"]) == (0, 0)
+    assert out[6]["kept"]  # [.!?"]\s*$ tolerates trailing whitespace
+    # map-only: no exchange, no Python
+    plan = c4_line_filters(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_prepare_training_corpus_c4_stage(spark, tmp_path):
+    from raptor_rag_spark.api import RaptorEngine
+
+    L = "this line has enough words here."
+    rows = [
+        (0, "en", f"{L}\n{L}\n{L}"),
+        (1, "en", "too short.\nalso short."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = RaptorEngine(spark, str(tmp_path / "ck")).prepare_training_corpus(
+        docs, min_quality=None, dedup=None, c4_rules=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {0: f"{L}\n{L}\n{L}"}
