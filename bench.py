@@ -985,7 +985,52 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         result["scaling"] = run_scaling()
 
-    print(json.dumps(result))
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
+    os.makedirs(out_dir, exist_ok=True)
+    full_path = os.path.join(out_dir, "bench_latest_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(_final_line(result, os.path.relpath(full_path, os.getcwd()))))
+
+
+def _final_line(result: dict, full_path: str, limit: int = 1900) -> dict:
+    """Summary for the single final stdout line. The driver keeps only
+    the LAST ~2000 bytes of stdout and json-parses the final line;
+    rounds 3-4 recorded ``parsed: null`` with a mid-line fragment
+    because the full result outgrew that buffer. This line is
+    guaranteed <= ``limit`` bytes: both scaling pairs WITHOUT the
+    raw-run lists, every headline throughput/recall field, and as many
+    of the slowest per-query timings as fit (``queries_omitted`` says
+    how many were dropped); the complete result incl. all 80+ query
+    timings and raw scaling runs is at ``full_result``."""
+    env = result.get("env", {})
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "full_result": full_path,
+        "n_queries": len(result["queries"]),
+        "cpu_steal_frac": env.get("cpu_steal_frac"),
+        "throughput": result["throughput"],
+    }
+    scaling = result.get("scaling")
+    if scaling:
+        s = {k: v for k, v in scaling.items() if k != "all_runs_sec"}
+        sec = s.get("secondary_2v8")
+        if sec:
+            s["secondary_2v8"] = {k: v for k, v in sec.items() if k != "all_runs_sec"}
+        out["scaling"] = s
+    ordered = sorted(result["queries"].items(), key=lambda kv: -kv[1])
+    for keep in range(len(ordered), -1, -1):
+        out["queries"] = dict(sorted(ordered[:keep]))
+        out["queries_omitted"] = len(ordered) - keep
+        if len(json.dumps(out)) <= limit:
+            return out
+    # unreachable in practice: even queries={} leaves ~1 KiB of fixed
+    # fields; shed the throughput block as the final fallback
+    out.pop("throughput", None)
+    return out
 
 
 if __name__ == "__main__":

@@ -68,6 +68,18 @@ def band_keys(sig_df: DataFrame, n_hashes: int, bands: int, id_col: str = "id") 
     return sig_df.select(F.col(id_col).alias("id"), F.explode(F.array(*cols)).alias("_bh"))
 
 
+def _validate_store_path(path: str) -> str:
+    """The store path is interpolated into CREATE TABLE ... LOCATION
+    '<path>' DDL at every register; a quote/backtick/newline would make
+    each fresh-session load fail (or mis-target another location).
+    Reject those at build/load time instead of at first read."""
+    if any(c in path for c in ("'", "`", "\n", "\r")):
+        raise ValueError(
+            f"store path must not contain quotes/backticks/newlines: {path!r}"
+        )
+    return path
+
+
 class MinHashSignatureStore:
     """See module docstring. Construct via `build` or `load`."""
 
@@ -169,6 +181,7 @@ class MinHashSignatureStore:
 
         if n_hashes % bands:
             raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+        _validate_store_path(path)
         digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
         meta = {
             "n_hashes": int(n_hashes),
@@ -201,6 +214,7 @@ class MinHashSignatureStore:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MinHashSignatureStore":
+        _validate_store_path(path)
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         store = cls(spark, path, meta)
@@ -297,10 +311,16 @@ class MinHashSignatureStore:
                 F.size(F.filter(F.zip_with("sig", "_bsig", lambda x, y: x == y), lambda v: v))
                 / F.lit(float(self.n_hashes)),
             )
-            # max across multiple store sigs of a re-appended id
+            # max across multiple store sigs of a re-appended id;
+            # threshold the UNROUNDED max (matching est_pairs_from_sigs'
+            # order of operations) — rounding first can flip boundary
+            # pairs whenever k/n_hashes doesn't terminate in 6 decimals
             .groupBy("batch_id", "store_id")
-            .agg(F.round(F.max("est_jaccard"), 6).alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold)
+            .agg(F.max("est_jaccard").alias("_est_max"))
+            .filter(F.col("_est_max") >= threshold)
+            .select(
+                "batch_id", "store_id", F.round("_est_max", 6).alias("est_jaccard")
+            )
         )
         return est
 

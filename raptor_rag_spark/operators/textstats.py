@@ -532,7 +532,13 @@ def sample_mixture(
         cond = F.col(stratum_col) == stratum
         rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
     rate_col = rate.otherwise(default_pct) if rate is not None else F.lit(default_pct)
-    h = md5_prefix60(F.col(id_col).cast("string")) % 100
+    # salted draw: the unsalted md5_prefix60(id) % 100 is the SAME
+    # Bernoulli variable stratified_hash_sample filters on, so composing
+    # the two ops would correlate them (a 40% stratified sample followed
+    # by mixture rate 150 gives the fractional epoch to 100% of
+    # survivors, not an independent 50%). The "mix|" salt decorrelates
+    # while staying deterministic and oracle-expressible.
+    h = md5_prefix60(F.concat(F.lit("mix|"), F.col(id_col).cast("string"))) % 100
     n_copies = (rate_col / 100).cast("int") + F.when(h < rate_col % 100, 1).otherwise(0)
     # sequence(0, -1) is a DESCENDING two-element array in Spark, so the
     # zero-copy case must be an explicit empty array (explode drops it).
@@ -599,7 +605,10 @@ def select_to_token_budget(
 
     s = F.col(score_col).cast("double")
     t = F.col(tokens_col).cast("long")
-    base = df.filter(s.isNotNull() & t.isNotNull())
+    # t >= 0 enforces the monotone-cumsum precondition the histogram
+    # boundary and prefix filter rely on; a negative count would
+    # silently produce a non-prefix kept set
+    base = df.filter(s.isNotNull() & t.isNotNull() & (t >= 0))
     mm = base.agg(F.min(s).alias("lo"), F.max(s).alias("hi")).collect()[0]
     if mm["lo"] is None:
         return base.limit(0)

@@ -1817,6 +1817,12 @@ def _sampling_union_sql() -> str:
     from raptor_rag_spark.tokenizer import duckdb_token_count_expr
 
     h60 = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    # the mixture draw is salted with 'mix|' (sample_mixture) so it is
+    # independent of the bernoulli draw above when the ops compose
+    h60_mix = (
+        "CAST(concat('0x', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 100"
+    )
     return f"""
 WITH scored AS (
   SELECT doc_id,
@@ -1830,7 +1836,7 @@ WITH scored AS (
 ), mix AS (
   SELECT doc_id, lang,
          CASE WHEN lang = 'en' THEN 250 ELSE 40 END AS rate,
-         {h60} AS h
+         {h60_mix} AS h
   FROM documents
 )
 SELECT 'bernoulli' AS kind, doc_id, lang AS grp, CAST(0 AS BIGINT) AS n

@@ -234,3 +234,58 @@ def test_reregister_after_catalog_loss(spark, store_and_corpus):
     re = MinHashSignatureStore.load(spark, store.path)
     assert _pairs(re.match_batch(probe, threshold=THRESH)) == want
     assert n_exchanges(re._bands()) == 0  # DDL kept the bucket layout
+
+
+def test_store_path_with_quote_rejected(spark, tmp_path):
+    """The path lands in CREATE TABLE ... LOCATION '<path>' DDL; a
+    quoted path must fail fast at build/load, not at first read."""
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    bad = str(tmp_path / "o'store")
+    docs = _df(spark, _corpus_rows(n=2))
+    with pytest.raises(ValueError, match="quotes"):
+        MinHashSignatureStore.build(spark, docs, bad, n_buckets=2)
+    with pytest.raises(ValueError, match="quotes"):
+        MinHashSignatureStore.load(spark, bad)
+
+
+def test_match_batch_thresholds_unrounded_estimate(spark, tmp_path):
+    """Boundary pairs: match_batch must threshold the UNROUNDED max
+    estimate, matching est_pairs_from_sigs' order of operations. With
+    n_hashes=48 any match count k with k % 3 == 2 has
+    est = k/48 = 0.x666... whose 6-decimal rounding is ABOVE the exact
+    value — a threshold in (exact, round6] must exclude the pair
+    (rounding first would admit it)."""
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    n_hashes = 48
+    corpus = _df(spark, _corpus_rows(seed=7, n=12))
+    store = MinHashSignatureStore.build(
+        spark, corpus, str(tmp_path / "mh48"),
+        n_hashes=n_hashes, bands=BANDS, shingle_n=SHINGLE_N, n_buckets=2,
+    )
+    # batch of perturbed corpus docs -> a spread of partial est values
+    batch = _df(
+        spark,
+        [
+            (900 + r["doc_id"], r["text"] + " extra tail words here")
+            for r in corpus.collect()
+        ],
+    )
+    got = _pairs(store.match_batch(batch, threshold=0.05))
+    boundary = None
+    for (bid, sid), est in got.items():
+        k = round(est * n_hashes)  # recover the exact match count
+        if k % 3 == 2:  # k/48 repeats ...666, round6 rounds UP
+            boundary = (bid, sid, k)
+            break
+    assert boundary is not None, f"no repeating-decimal pair in {got}"
+    bid, sid, k = boundary
+    t_above = round(k / n_hashes, 6)  # > exact k/48
+    sel = _pairs(store.match_batch(batch, threshold=t_above))
+    assert (bid, sid) not in sel  # unrounded max < threshold
+    # control: thresholding AT the exact double keeps the pair
+    sel_at = _pairs(store.match_batch(batch, threshold=k / n_hashes))
+    assert (bid, sid) in sel_at
+    for t in store.meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -327,3 +327,39 @@ def test_select_to_token_budget_prefix_blocking_and_nulls(spark):
         select_to_token_budget(df, -1, score_col="score", tokens_col="toks")
     with pytest.raises(ValueError, match="num_buckets"):
         select_to_token_budget(df, 10, score_col="score", tokens_col="toks", num_buckets=1)
+
+
+def test_sample_mixture_decorrelated_from_stratified_sample(spark):
+    """The mixture draw is salted ('mix|') so composing with
+    stratified_hash_sample keeps the Bernoulli draws independent:
+    a 40% stratified sample followed by mixture rate 150 gives the
+    fractional second epoch to ~50% of survivors — the UNSALTED draw
+    gave it to 100% of them (h < 40 is a subset of h < 50)."""
+    from raptor_rag_spark.operators.textstats import (
+        sample_mixture,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(2000)], "doc_id long, lang string"
+    )
+    kept = stratified_hash_sample(df, default_pct=40)
+    n_kept = kept.count()
+    assert n_kept > 0
+    extra = sample_mixture(kept, default_pct=150).filter("epoch = 1").count()
+    assert 0 < extra < n_kept
+    assert 0.35 < extra / n_kept < 0.65
+
+
+def test_select_to_token_budget_rejects_negative_tokens(spark):
+    """Negative token counts break the monotone-cumsum precondition;
+    the base filter now excludes them so the kept set stays an exact
+    (score desc, id asc) prefix of the valid rows."""
+    from raptor_rag_spark.operators.textstats import select_to_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, 0.8, -5), (3, 0.7, 10), (4, 0.6, 10)],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    out = select_to_token_budget(df, budget=20, num_buckets=4)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
