@@ -426,9 +426,6 @@ def _score_candidates(
     traffic of shipping both vectors, and no interpreted Catalyst
     higher-order functions in the hot path. strategy='join' switches to
     the distributed no-collect twin (_score_candidates_join)."""
-    import numpy as np
-    import pandas as pd
-
     if strategy == "join":
         return _score_candidates_join(cand_with_emb, queries, query_id, q_emb)
     q_ids, q_mat = _collect_query_matrix(queries, query_id, q_emb)
@@ -438,6 +435,36 @@ def _score_candidates(
     index = {int(qid): i for i, qid in enumerate(q_ids)}
     b_index = spark.sparkContext.broadcast(index)
     b_mat = spark.sparkContext.broadcast(q_mat)
+    return _score_with_broadcast(cand_with_emb, b_index, b_mat, query_id)
+
+
+def _score_with_broadcast(
+    cand_with_emb: DataFrame,
+    b_index,
+    b_mat,
+    query_id: str = "query_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score candidates against an ALREADY-broadcast query matrix
+    (``b_index``: {query_id: row}, ``b_mat``: (n, d) float64). Lets a
+    driver loop — tree traversal visits the same queries once per layer
+    — collect and broadcast the query side ONCE instead of re-running
+    the query-embedding plan per layer (the collect was ~2 s/layer of
+    pure fixed overhead at sf0.1).
+
+    ``passthrough``: extra input columns carried through the Arrow
+    kernel unchanged — lets the caller fuse a follow-up
+    fetch-columns-by-node_id join into the scoring pass when the
+    candidate set is small (traversal layers)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    in_df = cand_with_emb.select(query_id, "node_id", *passthrough, "embedding")
+    out_schema = T.StructType(
+        [f for f in in_df.schema.fields if f.name != "embedding"]
+        + [T.StructField("dist", T.DoubleType())]
+    )
 
     def score(it):
         idx, mat = b_index.value, b_mat.value
@@ -447,17 +474,11 @@ def _score_candidates(
             rows = pdf[query_id].map(idx).to_numpy(dtype=np.int64)
             n_mat = vec_matrix(pdf["embedding"], "embedding", "_score_candidates", expect_dim=mat.shape[1])
             dists = 1.0 - np.einsum("ij,ij->i", mat[rows], n_mat)
-            yield pd.DataFrame(
-                {
-                    query_id: pdf[query_id].to_numpy(dtype=np.int64),
-                    "node_id": pdf["node_id"].to_numpy(dtype=np.int64),
-                    "dist": dists,
-                }
-            )
+            out = pdf.drop(columns=["embedding"])
+            out["dist"] = dists
+            yield out
 
-    return cand_with_emb.select(query_id, "node_id", "embedding").mapInPandas(
-        score, f"{query_id} long, node_id long, dist double"
-    )
+    return in_df.mapInPandas(score, out_schema)
 
 
 def _score_candidates_quantized(

@@ -101,14 +101,32 @@ def retrieve_traversal(
     subsumed by distinct node_ids per query — the engine re-scores, so
     first-occurrence order is irrelevant to the result set).
     """
+    from raptor_rag_spark.operators.knn import (
+        _collect_query_matrix,
+        _score_with_broadcast,
+    )
+
     k = k or cfg.top_k
     threshold = threshold if threshold is not None else cfg.threshold
     nodes = nodes.cache()
     top = start_layer if start_layer is not None else nodes.agg(F.max("layer")).first()[0]
 
+    # collect + broadcast the query matrix ONCE for the whole descent:
+    # the loop visits the same queries at every layer, and re-running
+    # the query-embedding plan per layer (the old per-layer
+    # _score_candidates collect) was ~2 s/layer of pure fixed overhead
+    # at sf0.1. Traversal queries are interactive batches (the
+    # reference's API shape), so the broadcast path is the right one;
+    # 10^5+-query batches should use retrieve_collapsed(scoring='join').
+    spark = nodes.sparkSession
+    q_ids, q_mat = _collect_query_matrix(queries, "query_id", "q_embedding")
+    b_index = spark.sparkContext.broadcast({int(qid): i for i, qid in enumerate(q_ids)})
+    b_mat = spark.sparkContext.broadcast(q_mat)
+    ids_df = spark.createDataFrame([(int(qid),) for qid in q_ids], "query_id long")
+
     # per-layer candidate sets: start = all top-layer nodes for every query
     cand = (
-        F.broadcast(queries.select("query_id"))
+        F.broadcast(ids_df)
         .crossJoin(nodes.filter(F.col("layer") == top).select("node_id"))
     )
     selected = None
@@ -119,18 +137,35 @@ def retrieve_traversal(
         # exact cosine via the broadcast-query-matrix einsum kernel —
         # same discipline as the kNN hot path (a Catalyst zip_with/
         # aggregate cosine is interpreted, ~0.27 ms/row measured)
-        from raptor_rag_spark.operators.knn import _score_candidates
-
-        scored = _score_candidates(
-            cand.join(layer_nodes.select("node_id", "embedding"), "node_id"), queries
-        ).join(layer_nodes.select("node_id", "text", "n_tokens", "children"), "node_id")
+        scored = _score_with_broadcast(
+            cand.join(layer_nodes.select("node_id", "embedding"), "node_id"),
+            b_index,
+            b_mat,
+        )
         if selection_mode == "top_k":
             w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("node_id").asc())
-            sel = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+            picked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         else:
-            sel = threshold_select(scored, threshold).withColumn("rank", F.lit(0))
+            picked = threshold_select(scored, threshold).withColumn("rank", F.lit(0))
+        # fetch text/children AFTER selection: the join input is k rows
+        # per query, not the whole candidate set
+        sel = picked.join(
+            layer_nodes.select("node_id", "text", "n_tokens", "children"), "node_id"
+        )
         sel = sel.select("query_id", "node_id", "dist", "rank", "text", "n_tokens", "children")
-        sel = sel.withColumn("sel_layer", F.lit(layer)).localCheckpoint(eager=True)
+        sel = sel.withColumn("sel_layer", F.lit(layer))
+        # lazy localCheckpoint — but only on layers that DESCEND: there
+        # sel has two consumers (the accumulated union and the next
+        # layer's candidate explode). With AQE even a lazy checkpoint
+        # materializes its stages (AdaptiveSparkPlan executes on
+        # toRdd), yet it still beats both the eager variant (extra
+        # blocking job per layer) and no-checkpoint (recompute + one
+        # giant final compile): measured ~3.5 s vs 4.4 s eager vs
+        # 4.2 s none for the sf0.1 slot. The bottom layer has a single
+        # consumer, so its checkpoint would be a pure extra
+        # stage-materialization round — skip it.
+        if layer > 0:
+            sel = sel.localCheckpoint(eager=False)
         selected = sel if selected is None else selected.unionByName(sel)
         if layer > 0:
             cand = (

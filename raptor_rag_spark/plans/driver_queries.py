@@ -779,7 +779,7 @@ def q_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from raptor_rag_spark.operators.retrieve import embed_queries, retrieve_traversal
-    from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.operators.tree import build_tree, last_complete_level
     from raptor_rag_spark.sources.tables import source_fingerprint
 
     leaves = _leaf_nodes(spark, sf_dir)
@@ -793,7 +793,11 @@ def q_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, text string",
     )
     q = embed_queries(queries, dim=DIM)
-    sel, _ctx = retrieve_traversal(q, nodes, k=3)
+    # the level manifests already know the top layer — saves the
+    # max(layer) aggregation job inside retrieve_traversal
+    sel, _ctx = retrieve_traversal(
+        q, nodes, k=3, start_layer=last_complete_level(base)
+    )
     return sel.select("query_id", "node_id", "sel_layer", "rank")
 
 
