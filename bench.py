@@ -478,6 +478,71 @@ def main() -> None:
 
     timed("incremental_append_clustered", _incremental_append_clustered)
     tree_holder["clustered_frac"] = _recompute_frac()
+
+    def _incremental_append_planned():
+        """The scattered-append ECONOMICS fix: N days of uniform 1%
+        crawl batches through the append planner
+        (incremental_update_planned). Leaves land in level 0 daily;
+        a base cell's parents recompute only once its pending-leaf
+        count crosses the threshold — one recompute absorbs several
+        days' leaves, so the AMORTIZED recompute fraction (sum of
+        flush work over the horizon / days x parents) drops well below
+        the eager scattered fraction (~0.62). The final day force-
+        flushes so the horizon ends exact; its work is counted."""
+        import json as _json
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.config import EngineConfig
+        from raptor_rag_spark.operators.chunk import chunk_documents
+        from raptor_rag_spark.operators.embed import embed_texts
+        from raptor_rag_spark.operators.tile import reduce_2d
+        from raptor_rag_spark.operators.tree import _manifest_path
+        from raptor_rag_spark.streaming.incremental import (
+            incremental_update_planned,
+            read_pending,
+        )
+
+        cfg = EngineConfig(embedding_dim=DIM)
+        base = tree_holder["base"] + "_planned"
+        shutil.copytree(tree_holder["base"], base)
+        n_days = 5
+        for day in range(n_days):
+            docs = (
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .filter(F.col("doc_id") % 100 == day)  # uniform 1%/day
+                .withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(20_000_000 + day * 1_000_000)
+                )
+            )
+            chunks = chunk_documents(docs, max_tokens=60)
+            leaves = (
+                embed_texts(chunks, dim=DIM)
+                .withColumnRenamed("chunk_id", "node_id")
+                .select("node_id", "text", "n_tokens", "embedding")
+            )
+            leaves = reduce_2d(leaves, dim=DIM, seed=cfg.seed)
+            incremental_update_planned(
+                spark, base, leaves, cfg,
+                start_resolution=4, max_layers=6, embed_dim=DIM,
+                min_pending_per_cell=4,
+                force_flush=(day == n_days - 1),
+            ).count()
+        tot = 0
+        lvl = 1
+        while os.path.exists(_manifest_path(base, lvl)):
+            tot += int(_json.load(open(_manifest_path(base, lvl)))["rows"])
+            lvl += 1
+        flushes = read_pending(base)["flushes"]
+        rec = sum(int(f["recomputed_parents"]) for f in flushes)
+        tree_holder["planned_frac"] = (
+            round(rec / (n_days * tot), 4) if tot else 0.0
+        )
+        tree_holder["planned_days"] = n_days
+        tree_holder["planned_flushes"] = len(flushes)
+
+    timed("incremental_append_planned_5days", _incremental_append_planned)
     corpus = {}
     timed("corpus_materialize", lambda: corpus.update(zip(("nodes", "tiles"), corpus_nodes(spark, SF_DIR))))
     timed("knn_tiled_200q", lambda: knn_flagship(spark, corpus["nodes"], corpus["tiles"], 200, 10))
@@ -955,6 +1020,9 @@ def main() -> None:
             "ivf_store_bytes_int8_over_float": recall_holder.get("ivf_bytes_ratio"),
             "incremental_scattered_recompute_frac": tree_holder.get("scattered_frac"),
             "incremental_clustered_recompute_frac": tree_holder.get("clustered_frac"),
+            "incremental_planned_recompute_frac": tree_holder.get("planned_frac"),
+            "incremental_planned_days": tree_holder.get("planned_days"),
+            "incremental_planned_flushes": tree_holder.get("planned_flushes"),
             "export_docs_per_sec": round(
                 pipe_holder.get("export_docs", 0) / timings["training_export"], 2
             ),

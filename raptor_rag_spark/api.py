@@ -78,7 +78,15 @@ class RaptorEngine:
             embed_dim=self.dim,
         ).cache()
 
-    def append_documents(self, docs, text_col: str = "text", id_col: str = "doc_id") -> None:
+    def append_documents(
+        self,
+        docs,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        deferred: bool = False,
+        min_pending_per_cell: int = 4,
+        min_pending_frac: float = 0.1,
+    ) -> None:
         """Incremental ingest: append new documents to an EXISTING tree
         and re-run only the affected cells of each level (SURVEY §2.10;
         streaming/incremental.py:incremental_update — result equals a
@@ -88,9 +96,20 @@ class RaptorEngine:
         A plain-string append derives its doc_id from the TEXT CONTENT
         (xxhash64) — a fixed id would make chunk_id = f(0, chunk_idx)
         collide across different appended strings, silently corrupting
-        level 0 with duplicate node_ids."""
+        level 0 with duplicate node_ids.
+
+        ``deferred=True`` routes through the append planner
+        (incremental_update_planned): leaves land immediately, but a
+        base cell's parents recompute only once its pending share
+        crosses the debt threshold — the amortized ingest path for
+        scattered daily crawl batches (recompute fraction ~0.15 vs
+        0.62 eager at a uniform 1%/day drip). Call flush_appends() to
+        force exactness before an evaluation/export."""
         from raptor_rag_spark.operators.tile import reduce_2d
-        from raptor_rag_spark.streaming.incremental import incremental_update
+        from raptor_rag_spark.streaming.incremental import (
+            incremental_update,
+            incremental_update_planned,
+        )
 
         if self.nodes is None:
             raise ValueError("no tree built — call add_documents first; "
@@ -109,9 +128,33 @@ class RaptorEngine:
             .select("node_id", "text", "n_tokens", "embedding")
         )
         leaves = reduce_2d(leaves, dim=self.dim, seed=self.cfg.seed)
-        self.nodes = incremental_update(
-            self.spark, self.base, leaves, self.cfg,
+        if deferred:
+            self.nodes = incremental_update_planned(
+                self.spark, self.base, leaves, self.cfg,
+                start_resolution=self.start_resolution, embed_dim=self.dim,
+                min_pending_per_cell=min_pending_per_cell,
+                min_pending_frac=min_pending_frac,
+            ).cache()
+        else:
+            self.nodes = incremental_update(
+                self.spark, self.base, leaves, self.cfg,
+                start_resolution=self.start_resolution, embed_dim=self.dim,
+            ).cache()
+
+    def flush_appends(self) -> None:
+        """Force-flush every deferred append (see append_documents
+        ``deferred=True``): recompute all pending cells' parents so the
+        tree equals a from-scratch build over the merged corpus."""
+        from raptor_rag_spark.streaming.incremental import (
+            incremental_update_planned,
+        )
+
+        if self.nodes is None:
+            raise ValueError("no tree built")
+        self.nodes = incremental_update_planned(
+            self.spark, self.base, None, self.cfg,
             start_resolution=self.start_resolution, embed_dim=self.dim,
+            force_flush=True,
         ).cache()
 
     def _load(self) -> None:

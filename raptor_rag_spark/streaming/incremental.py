@@ -192,93 +192,52 @@ def append_level(
     return manifest
 
 
-def incremental_update(
+def _propagate_affected(
     spark: SparkSession,
     checkpoint_base: str,
-    new_leaves: DataFrame,
-    cfg: EngineConfig = DEFAULT_CONFIG,
-    start_resolution: int = 4,
-    max_layers: int = 8,
-    embed_dim: int | None = None,
-) -> DataFrame:
-    """Append ``new_leaves`` (node_id, text, n_tokens, embedding, x, y —
-    e.g. incremental_level0 output; node_ids must be fresh) to a
-    checkpointed tree and re-run ONLY the affected cells of each level.
-
-    Per level L (start resolution res_L = start_resolution - (L-1)):
-    1. affected = distinct res_L cells containing any changed child
-       node (new leaves at level 0; recomputed OR replaced parents at
-       higher levels — a vanished parent changes the next level too);
-    2. recompute build_level over ALL child nodes in affected cells
-       (closed under cap-splitting by the prefix property);
-    3. carry over every parent whose cell_id prefix is unaffected;
-    4. the changed-parent set becomes the next level's delta.
-
-    Level 0 is an APPEND (immutable data files + manifest delta);
-    levels >= 1 rewrite the level file with kept ∪ recomputed rows —
-    the summarize/embed work (the expensive part) runs only on affected
-    cells; at production scale the level files would be partitioned by
-    cell prefix so the rewrite too touches only affected partitions
-    (levels above 0 are already compression-ratio smaller than leaves).
-    Finishes with a resumed build_tree to extend the top if the append
-    pushed the top level back over min_level_nodes; returns the
-    collapsed node table. Result equals a from-scratch build over the
-    merged leaves (pytest-asserted).
-    """
+    cfg: EngineConfig,
+    start_resolution: int,
+    top: int,
+    dim: int,
+    delta: DataFrame | None = None,
+    affected_l1: DataFrame | None = None,
+) -> dict:
+    """Shared affected-cells propagation for levels 1..top (the loop
+    both incremental_update and the append planner run): per level,
+    recompute the start-res cells containing changed children, carry
+    every other parent over untouched, and feed the changed parents
+    into the next level. Layer 1's affected set comes from ``delta``
+    (today's changed level-0 rows) unless ``affected_l1`` overrides it
+    — the planner flushes DUE cells covering several days' pending
+    leaves, not just today's batch. Returns aggregate stats
+    {recomputed_parents, replaced_parents, affected_cells_l1}."""
     from pyspark.sql import functions as F
 
+    from raptor_rag_spark.operators.tile import tile
     from raptor_rag_spark.operators.tree import (
         _level_path,
         build_level,
-        build_tree,
-        last_complete_level,
         read_level,
         read_manifest,
         refresh_manifest,
         update_manifest_delta,
         write_level,
     )
-    from raptor_rag_spark.operators.tile import tile
 
-    dim = embed_dim or cfg.embedding_dim
-    top = last_complete_level(checkpoint_base)
-    if top < 0:
-        raise ValueError(f"no complete levels under {checkpoint_base}; build first")
-
-    lvl0_delta = (
-        new_leaves.withColumn("layer", F.lit(0))
-        .withColumn("cell_id", F.lit(None).cast("string"))
-        .withColumn("children", F.array().cast("array<long>"))
-        .select(
-            "node_id", "layer", "cell_id", "text", "children", "n_tokens",
-            "embedding", "x", "y",
-        )
-    )
-    # content-derived append id: a retried incremental_update (crash
-    # anywhere downstream) re-presents the same delta and must not
-    # duplicate level-0 rows — append_level dedups on this id. The id
-    # covers text/tokens/embedding too, so a repair batch with the SAME
-    # node_ids but different content is a new append, not a silent no-op
-    from raptor_rag_spark.functions.staging import content_append_id
-
-    append_id = content_append_id(
-        lvl0_delta, ["node_id", "text", "n_tokens", "embedding"]
-    )
-    append_level(
-        lvl0_delta, checkpoint_base, 0, {"input": "incremental append"},
-        append_id=append_id,
-    )
-
-    # changed rows at the current child level: (node_id, x, y)
-    delta = lvl0_delta.select("node_id", "x", "y").localCheckpoint(eager=True)
+    stats = {"recomputed_parents": 0, "replaced_parents": 0, "affected_cells_l1": 0}
     for layer in range(1, top + 1):
         res = max(start_resolution - (layer - 1), 0)
-        affected = (
-            tile(delta, res).select("cell_id").distinct()
-            .withColumnRenamed("cell_id", "_acell")
-            .localCheckpoint(eager=True)
-        )
+        if layer == 1 and affected_l1 is not None:
+            affected = affected_l1.localCheckpoint(eager=True)
+        else:
+            affected = (
+                tile(delta, res).select("cell_id").distinct()
+                .withColumnRenamed("cell_id", "_acell")
+                .localCheckpoint(eager=True)
+            )
         n_affected = affected.count()
+        if layer == 1:
+            stats["affected_cells_l1"] = int(n_affected)
         child = read_level(spark, checkpoint_base, layer - 1)
         child_in = (
             tile(child, res)
@@ -301,12 +260,15 @@ def incremental_update(
         ).select("node_id", "x", "y").localCheckpoint(eager=True)
         old_manifest = read_manifest(checkpoint_base, layer)
         pfx_len = old_manifest.get("partition_prefix_len")
+        n_recomputed, n_replaced = int(recomputed.count()), int(replaced.count())
+        stats["recomputed_parents"] += n_recomputed
+        stats["replaced_parents"] += n_replaced
         lineage = {
             "input": "incremental",
             "resolution": res,
             "affected_cells": int(n_affected),
-            "recomputed_parents": int(recomputed.count()),
-            "replaced_parents": int(replaced.count()),
+            "recomputed_parents": n_recomputed,
+            "replaced_parents": n_replaced,
         }
         if pfx_len == res + 1:
             # prefix-partitioned level: affected start-res cells ARE
@@ -357,7 +319,288 @@ def incremental_update(
             )
         # both the new and the vanished/updated parents perturb level+1
         delta = recomputed.select("node_id", "x", "y").unionByName(replaced)
+    return stats
+
+
+def incremental_update(
+    spark: SparkSession,
+    checkpoint_base: str,
+    new_leaves: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    start_resolution: int = 4,
+    max_layers: int = 8,
+    embed_dim: int | None = None,
+) -> DataFrame:
+    """Append ``new_leaves`` (node_id, text, n_tokens, embedding, x, y —
+    e.g. incremental_level0 output; node_ids must be fresh) to a
+    checkpointed tree and re-run ONLY the affected cells of each level.
+
+    Per level L (start resolution res_L = start_resolution - (L-1)):
+    1. affected = distinct res_L cells containing any changed child
+       node (new leaves at level 0; recomputed OR replaced parents at
+       higher levels — a vanished parent changes the next level too);
+    2. recompute build_level over ALL child nodes in affected cells
+       (closed under cap-splitting by the prefix property);
+    3. carry over every parent whose cell_id prefix is unaffected;
+    4. the changed-parent set becomes the next level's delta.
+
+    Level 0 is an APPEND (immutable data files + manifest delta);
+    levels >= 1 rewrite the level file with kept ∪ recomputed rows —
+    the summarize/embed work (the expensive part) runs only on affected
+    cells; at production scale the level files would be partitioned by
+    cell prefix so the rewrite too touches only affected partitions
+    (levels above 0 are already compression-ratio smaller than leaves).
+    Finishes with a resumed build_tree to extend the top if the append
+    pushed the top level back over min_level_nodes; returns the
+    collapsed node table. Result equals a from-scratch build over the
+    merged leaves (pytest-asserted).
+    """
+    from raptor_rag_spark.operators.tree import (
+        build_tree,
+        last_complete_level,
+        read_level,
+    )
+
+    dim = embed_dim or cfg.embedding_dim
+    top = last_complete_level(checkpoint_base)
+    if top < 0:
+        raise ValueError(f"no complete levels under {checkpoint_base}; build first")
+
+    lvl0_delta, _aid = _stage_level0_append(new_leaves, checkpoint_base)
+
+    # changed rows at the current child level: (node_id, x, y)
+    delta = lvl0_delta.select("node_id", "x", "y").localCheckpoint(eager=True)
+    _propagate_affected(
+        spark, checkpoint_base, cfg, start_resolution, top, dim, delta=delta
+    )
     # extend the top if the append pushed it back over min_level_nodes
+    return build_tree(
+        spark,
+        read_level(spark, checkpoint_base, 0),
+        checkpoint_base,
+        cfg,
+        start_resolution=start_resolution,
+        max_layers=max_layers,
+        embed_dim=dim,
+        resume=True,
+    )
+
+
+def _stage_level0_append(new_leaves: DataFrame, checkpoint_base: str):
+    """Shape ``new_leaves`` into level-0 rows and append them exactly
+    once. Returns (lvl0_delta, append_id).
+
+    The append id is content-derived: a retried update (crash anywhere
+    downstream) re-presents the same delta and must not duplicate
+    level-0 rows — append_level dedups on this id. The id covers
+    text/tokens/embedding too, so a repair batch with the SAME node_ids
+    but different content is a new append, not a silent no-op."""
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.functions.staging import content_append_id
+
+    lvl0_delta = (
+        new_leaves.withColumn("layer", F.lit(0))
+        .withColumn("cell_id", F.lit(None).cast("string"))
+        .withColumn("children", F.array().cast("array<long>"))
+        .select(
+            "node_id", "layer", "cell_id", "text", "children", "n_tokens",
+            "embedding", "x", "y",
+        )
+    )
+    append_id = content_append_id(
+        lvl0_delta, ["node_id", "text", "n_tokens", "embedding"]
+    )
+    append_level(
+        lvl0_delta, checkpoint_base, 0, {"input": "incremental append"},
+        append_id=append_id,
+    )
+    return lvl0_delta, append_id
+
+
+_PENDING_LEDGER = "pending_appends.json"
+_PENDING_APPLIED_KEEP = 256  # retry horizon for append-id dedup
+
+
+def _pending_path(base: str) -> str:
+    import os
+
+    return os.path.join(base, _PENDING_LEDGER)
+
+
+def read_pending(base: str) -> dict:
+    """The append planner's ledger: per-base-cell pending-leaf counts
+    (leaves already in level 0 whose parents have NOT been recomputed),
+    the append ids already counted (retry dedup), and the flush
+    history. Lives next to the level manifests."""
+    import json
+    import os
+
+    path = _pending_path(base)
+    if not os.path.exists(path):
+        return {
+            "resolution": None,
+            "cells": {},
+            "sizes": {},
+            "applied": [],
+            "flushes": [],
+        }
+    with open(path) as fh:
+        led = json.load(fh)
+    led.setdefault("sizes", {})
+    return led
+
+
+def incremental_update_planned(
+    spark: SparkSession,
+    checkpoint_base: str,
+    new_leaves: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    start_resolution: int = 4,
+    max_layers: int = 8,
+    embed_dim: int | None = None,
+    min_pending_per_cell: int = 4,
+    min_pending_frac: float = 0.1,
+    force_flush: bool = False,
+) -> DataFrame:
+    """Append planner for SCATTERED crawl batches — the amortized form
+    of :func:`incremental_update`.
+
+    A uniform daily batch (the common case: a day of crawl touches
+    ~every base cell with a few leaves each) makes eager affected-cell
+    maintenance degenerate to ~a full parent rebuild per day (measured
+    recompute fraction 0.62 for a uniform 1% append vs 0.079
+    clustered). The planner decouples LANDING leaves from RECOMPUTING
+    parents:
+
+    1. the batch appends to level 0 exactly once (same staging as
+       incremental_update — new leaves are immediately part of the
+       corpus and of collapsed retrieval over level 0);
+    2. per layer-1 base cell, a pending-leaf counter accrues in a
+       ledger (``pending_appends.json``, atomic write, append-id
+       dedup so a retried batch never double-counts);
+    3. a cell recomputes only when its RECOMPUTE DEBT is worth paying:
+       pending >= max(min_pending_per_cell,
+       min_pending_frac * the cell's current leaf count). The relative
+       test is the load-bearing one — a cell's recompute cost is
+       proportional to its size, so flushing at a fixed pending SHARE
+       makes the amortized cost per ingested leaf a constant
+       (~eager_frac * min_pending_frac per batch at a uniform 1%/day
+       drip, vs 0.62 eager) regardless of how dense the corpus is;
+       the absolute floor only stops tiny cells from churning. ONE
+       recompute absorbs all days' leaves since the cell last flushed.
+       Cell sizes live in the ledger (seeded from a one-time level-0
+       per-cell count on the first planned call, incremented per
+       append — no recurring corpus scan).
+
+    Trade-off (explicit): between flushes, a pending cell's PARENT
+    summaries don't yet reflect its newest leaves — the leaves are
+    queryable (level 0 / collapsed mode), the upper tree is bounded-
+    stale (< min_pending_per_cell leaves per cell). ``force_flush``
+    restores exact equality with a from-scratch build over the merged
+    leaves (pytest-asserted).
+
+    Crash-safety ordering: level-0 append commits first (content-id
+    exact-once), ledger count-merge second, flush level writes third,
+    ledger clear LAST — a crash anywhere re-runs idempotently (a
+    re-flush of already-flushed cells recomputes the same rows from
+    the same level-0 state).
+
+    Returns the collapsed node table (all levels)."""
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.operators.maintenance import write_meta_atomic
+    from raptor_rag_spark.operators.tile import tile
+    from raptor_rag_spark.operators.tree import (
+        build_tree,
+        last_complete_level,
+        read_level,
+    )
+
+    if min_pending_per_cell < 1:
+        raise ValueError(f"min_pending_per_cell must be >= 1, got {min_pending_per_cell}")
+    if not 0.0 <= min_pending_frac <= 1.0:
+        raise ValueError(f"min_pending_frac must be in [0, 1], got {min_pending_frac}")
+    dim = embed_dim or cfg.embedding_dim
+    top = last_complete_level(checkpoint_base)
+    if top < 0:
+        raise ValueError(f"no complete levels under {checkpoint_base}; build first")
+
+    ledger = read_pending(checkpoint_base)
+    if ledger["resolution"] is None:
+        ledger["resolution"] = int(start_resolution)
+        # one-time size seed: per-base-cell leaf counts of the existing
+        # level 0 (bounded by the base-cell universe; incremented per
+        # append afterwards — never rescanned)
+        ledger["sizes"] = {
+            r["cell_id"]: int(r["n"])
+            for r in tile(
+                read_level(spark, checkpoint_base, 0).select("node_id", "x", "y"),
+                start_resolution,
+            )
+            .groupBy("cell_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    elif int(ledger["resolution"]) != int(start_resolution):
+        raise ValueError(
+            f"pending ledger tracks cells at resolution {ledger['resolution']}, "
+            f"got start_resolution={start_resolution}"
+        )
+
+    if new_leaves is not None:
+        lvl0_delta, append_id = _stage_level0_append(new_leaves, checkpoint_base)
+        if append_id not in ledger["applied"]:
+            counts = (
+                tile(lvl0_delta.select("node_id", "x", "y"), start_resolution)
+                .groupBy("cell_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )  # bounded by the base-cell universe (4^res), not by rows
+            for r in counts:
+                c = r["cell_id"]
+                ledger["cells"][c] = int(ledger["cells"].get(c, 0)) + int(r["n"])
+                ledger["sizes"][c] = int(ledger["sizes"].get(c, 0)) + int(r["n"])
+            ledger["applied"] = (ledger["applied"] + [append_id])[
+                -_PENDING_APPLIED_KEEP:
+            ]
+            write_meta_atomic(_pending_path(checkpoint_base), ledger)
+
+    due = sorted(
+        c
+        for c, n in ledger["cells"].items()
+        if force_flush
+        or int(n)
+        >= max(
+            min_pending_per_cell,
+            min_pending_frac * int(ledger["sizes"].get(c, 0)),
+        )
+    )
+    if not due:
+        # no flush: collapsed table with up-to-date leaves and
+        # bounded-stale parents
+        out = read_level(spark, checkpoint_base, 0)
+        for layer in range(1, top + 1):
+            out = out.unionByName(read_level(spark, checkpoint_base, layer))
+        return out
+
+    affected_l1 = spark.createDataFrame([(c,) for c in due], "_acell string")
+    stats = _propagate_affected(
+        spark, checkpoint_base, cfg, start_resolution, top, dim,
+        affected_l1=affected_l1,
+    )
+    for c in due:
+        ledger["cells"].pop(c, None)
+    ledger["flushes"].append(
+        {
+            "cells": len(due),
+            "recomputed_parents": int(stats["recomputed_parents"]),
+            "replaced_parents": int(stats["replaced_parents"]),
+            "forced": bool(force_flush),
+        }
+    )
+    write_meta_atomic(_pending_path(checkpoint_base), ledger)
+    # extend the top if the flushed cells pushed it over min_level_nodes
     return build_tree(
         spark,
         read_level(spark, checkpoint_base, 0),

@@ -279,3 +279,46 @@ def test_quality_signals_single_pass_plan(spark, tmp_path_factory):
     row = q.collect()[0]
     # 3 lines, 2 distinct -> 1 - 2/3
     assert row["quality_score"] is not None and row["dup_line_frac"] == 0.333333
+
+
+def test_engine_deferred_append_and_flush(spark, tmp_path):
+    """RaptorEngine facade over the append planner: a deferred append
+    lands leaves without touching parents; flush_appends() makes the
+    tree equal an eager append of the same docs."""
+    from raptor_rag_spark.api import RaptorEngine
+    from raptor_rag_spark.streaming.incremental import read_pending
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} " + "word " * (4 + i % 5)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(100 + i, f"gamma delta fresh {i} " + "tail " * (3 + i % 4)) for i in range(6)],
+        "doc_id long, text string",
+    )
+
+    eng = RaptorEngine(spark, checkpoint_base=str(tmp_path / "t1"), start_resolution=3)
+    eng.add_documents(docs)
+    parents_before = sorted(
+        (r["node_id"], r["text"])
+        for r in eng.nodes.filter("layer >= 1").select("node_id", "text").collect()
+    )
+    eng.append_documents(extra, deferred=True, min_pending_per_cell=10**6)
+    assert read_pending(eng.base)["cells"]  # pending, not flushed
+    assert sorted(
+        (r["node_id"], r["text"])
+        for r in eng.nodes.filter("layer >= 1").select("node_id", "text").collect()
+    ) == parents_before  # parents untouched
+    n_leaves = eng.nodes.filter("layer = 0").count()
+
+    eng.flush_appends()
+    assert not read_pending(eng.base)["cells"]
+
+    eager = RaptorEngine(spark, checkpoint_base=str(tmp_path / "t2"), start_resolution=3)
+    eager.add_documents(docs)
+    eager.append_documents(extra)
+    cols = ["node_id", "layer", "cell_id", "text", "n_tokens"]
+    assert sorted(map(tuple, eng.nodes.select(*cols).collect())) == sorted(
+        map(tuple, eager.nodes.select(*cols).collect())
+    )
+    assert eng.nodes.filter("layer = 0").count() == n_leaves

@@ -590,3 +590,101 @@ def test_stream_composes_scrub_and_quality(spark, tmp_path_factory):
     assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["text"]
     assert got[2]["n_ipv4"] == 1 and "<IP>" in got[2]["text"]
     assert got[1]["lang"] == "en" and got[2]["lang"] == "de"
+
+
+def test_incremental_update_planned_defers_counts_and_flushes_exact(
+    spark, tmp_path_factory
+):
+    """Append planner end-to-end: (a) a scattered batch below the
+    per-cell threshold lands in level 0 but DEFERS parent recompute
+    (ledger counts it, parents byte-identical); (b) a retried batch
+    neither duplicates leaves nor double-counts; (c) a later batch
+    pushes cells over the threshold -> due cells flush and clear;
+    (d) force_flush restores exact equality with a from-scratch build
+    over the merged leaves (the eager incremental==scratch property,
+    extended to deferred cells)."""
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.tree import build_tree, read_level
+    from raptor_rag_spark.streaming.incremental import (
+        incremental_update_planned,
+        read_pending,
+    )
+
+    root = tmp_path_factory.mktemp("planned")
+    base, base_all = str(root / "tree"), str(root / "tree_all")
+    kw = dict(start_resolution=3, max_layers=4)
+
+    leaves0 = incremental_level0(synthetic_pages(spark, n=40, seed=61)).localCheckpoint(
+        eager=True
+    )
+    build_tree(spark, leaves0, base, DEFAULT_CONFIG, **kw)
+    parents_before = sorted(
+        map(tuple, read_level(spark, base, 1).select("node_id", "text").collect())
+    )
+    n_lvl0 = read_level(spark, base, 0).count()
+
+    def batch(seed, offset):
+        pages = synthetic_pages(spark, n=8, seed=seed).withColumn(
+            "page_id", F.col("page_id") + offset
+        ).withColumn(
+            "url", F.concat(F.lit(f"https://b{offset}.test/p/"), F.col("page_id"))
+        )
+        return incremental_level0(pages).localCheckpoint(eager=True)
+
+    b1 = batch(6100, 10_000)
+    # (a) high threshold: no cell flushes
+    incremental_update_planned(
+        spark, base, b1, DEFAULT_CONFIG, min_pending_per_cell=10**6, **kw
+    )
+    led = read_pending(base)
+    assert sum(led["cells"].values()) == b1.count()
+    assert len(led["applied"]) == 1 and not led["flushes"]
+    assert read_level(spark, base, 0).count() == n_lvl0 + b1.count()
+    assert (
+        sorted(map(tuple, read_level(spark, base, 1).select("node_id", "text").collect()))
+        == parents_before
+    )
+
+    # (b) retry: same batch again — no new leaves, no double counts
+    incremental_update_planned(
+        spark, base, b1, DEFAULT_CONFIG, min_pending_per_cell=10**6, **kw
+    )
+    led2 = read_pending(base)
+    assert led2["cells"] == led["cells"] and len(led2["applied"]) == 1
+    assert read_level(spark, base, 0).count() == n_lvl0 + b1.count()
+
+    # ledger tracks cell sizes (seeded from level 0 + batch increments)
+    assert sum(led["sizes"].values()) == n_lvl0 + b1.count()
+    assert all(led["sizes"][c] >= n for c, n in led["cells"].items())
+
+    # (c) second batch with absolute threshold 1 and the relative test
+    # disabled: every pending cell flushes
+    b2 = batch(6200, 20_000)
+    incremental_update_planned(
+        spark, base, b2, DEFAULT_CONFIG,
+        min_pending_per_cell=1, min_pending_frac=0.0, **kw
+    )
+    led3 = read_pending(base)
+    assert not led3["cells"] and len(led3["flushes"]) == 1
+    assert led3["flushes"][0]["recomputed_parents"] > 0
+    parents_flushed = sorted(
+        map(tuple, read_level(spark, base, 1).select("node_id", "text").collect())
+    )
+    assert parents_flushed != parents_before
+
+    # (d) third deferred batch, then force_flush == from-scratch build
+    b3 = batch(6300, 30_000)
+    incremental_update_planned(
+        spark, base, b3, DEFAULT_CONFIG, min_pending_per_cell=10**6, **kw
+    )
+    assert read_pending(base)["cells"]  # b3 pending
+    got = incremental_update_planned(
+        spark, base, None, DEFAULT_CONFIG, force_flush=True, **kw
+    )
+    assert not read_pending(base)["cells"]
+    merged = leaves0.unionByName(b1).unionByName(b2).unionByName(b3)
+    want = build_tree(spark, merged, base_all, DEFAULT_CONFIG, resume=False, **kw)
+    cols = ["node_id", "layer", "cell_id", "text", "n_tokens"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
