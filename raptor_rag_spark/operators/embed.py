@@ -66,6 +66,93 @@ def hash_embed_batch(texts: pd.Series, dim: int = 64) -> np.ndarray:
     return (out / norms[:, None]).astype(np.float32)
 
 
+def http_embed_fn(
+    base_url: str,
+    dim: int,
+    optimal_batch: int = 32,
+    max_retries: int = 3,
+    timeout: float = 30.0,
+):
+    """Production-shaped ``embed_fn`` for :func:`make_embed_udf`: POST
+    text batches to a VLLM-style embedding service, mirroring the
+    reference client/server batch contract —
+
+    - endpoint + payload: JSON list -> ``{"data": [{"embedding": [...]}
+      ...]}`` (/root/reference/raptor/EmbeddingModels.py:119-138);
+    - client-side chunking at ``optimal_batch`` (32), matching the
+      server's own re-chunk threshold so every request is processed
+      direct (server.py:285-299; max accepted 64, server.py:61-62);
+    - ``query:``/``passage:`` prefixing happens SERVER-side
+      (server.py:304-309) — the client sends raw text;
+    - bounded exponential retries on connection errors and 5xx (the
+      reference's tenacity ``stop_after_attempt(3)`` analog,
+      EmbeddingModels.py:94). Deliberate deviation: 4xx validation
+      rejections (server.py:452-467) raise IMMEDIATELY — a retry
+      cannot fix a rejected payload, and looping on it would hide the
+      data bug;
+    - loud failure after the retry budget: an embedding outage must
+      fail the Spark task (which retries it on another attempt), never
+      emit garbage vectors.
+
+    Stdlib-only (urllib) so the seam needs no extra dependency; runs
+    inside the Python worker, one chunk of HTTP per ``optimal_batch``
+    rows of each Arrow batch. Returns float32 (n, dim)."""
+    import json
+    import time
+    import urllib.error
+    import urllib.request
+
+    url = base_url.rstrip("/") + "/embeddings/batch"
+
+    def fn(texts: pd.Series) -> np.ndarray:
+        vals = ["" if t is None else str(t) for t in texts]
+        rows: list[list[float]] = []
+        for i in range(0, len(vals), optimal_batch):
+            chunk = vals[i : i + optimal_batch]
+            body = json.dumps(chunk).encode()
+            for attempt in range(max_retries):
+                try:
+                    req = urllib.request.Request(
+                        url,
+                        data=body,
+                        headers={"Content-Type": "application/json"},
+                        method="POST",
+                    )
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        data = json.loads(resp.read())
+                    rows.extend(d["embedding"] for d in data["data"])
+                    break
+                except urllib.error.HTTPError as exc:
+                    if 400 <= exc.code < 500:
+                        detail = exc.read()[:200]
+                        raise RuntimeError(
+                            f"embedding service rejected the batch "
+                            f"({exc.code}): {detail!r}"
+                        ) from exc
+                    if attempt == max_retries - 1:
+                        raise RuntimeError(
+                            f"embedding service failed after {max_retries} "
+                            f"attempts: HTTP {exc.code}"
+                        ) from exc
+                    time.sleep(min(0.05 * 2**attempt, 2.0))
+                except (urllib.error.URLError, OSError) as exc:
+                    if attempt == max_retries - 1:
+                        raise RuntimeError(
+                            f"embedding service failed after {max_retries} "
+                            f"attempts: {exc}"
+                        ) from exc
+                    time.sleep(min(0.05 * 2**attempt, 2.0))
+        mat = np.asarray(rows, dtype=np.float32)
+        if mat.shape != (len(vals), dim):
+            raise ValueError(
+                f"embedding service returned shape {mat.shape}, "
+                f"expected {(len(vals), dim)}"
+            )
+        return mat
+
+    return fn
+
+
 def make_embed_udf(dim: int = 64, embed_fn=None):
     """Scalar-iterator pandas UDF: text -> array<float> (unit norm)."""
     fn = embed_fn or (lambda s: hash_embed_batch(s, dim))
