@@ -975,6 +975,126 @@ def main() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {_t}")
     _shutil.rmtree(_mh_dir, ignore_errors=True)
 
+    # ---- skewed-corpus stress: the same build-level -> paragraph-dedup
+    # -> kNN path on a uniform corpus and on a deliberately hot one
+    # (hot_frac=0.3: ONE domain+language owns 30% of pages, their text
+    # drawn from a 3-sentence sub-pool so the bag-of-token embeddings
+    # collapse into one tight region -> hot tile cells, hot boilerplate
+    # lines, hot kNN candidates — the north_rule's popular-domain skew
+    # in its worst-case form). Equal row count; per-stage skew/uniform
+    # ratios plus the summarizer-shuffle task-balance metric
+    # (max/median rows per task) land in throughput.
+    SKEW_DOCS = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "16000"))
+    skew_holder: dict = {}
+
+    def _skew_nodes(tag: str, hot_frac: float):
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.datagen import synthetic_pages
+        from raptor_rag_spark.operators.chunk import chunk_documents
+        from raptor_rag_spark.operators.embed import embed_texts
+        from raptor_rag_spark.operators.extract import extract_pages
+        from raptor_rag_spark.operators.tile import reduce_2d
+
+        pages = synthetic_pages(
+            spark, n=SKEW_DOCS, seed=777, partitions=64, hot_frac=hot_frac
+        )
+        docs = extract_pages(pages, passthrough=("page_id",)).select(
+            F.col("page_id").alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        chunks = chunk_documents(docs, max_tokens=60)
+        nodes = (
+            embed_texts(chunks, dim=DIM)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "text", "n_tokens", "embedding")
+        )
+        nodes = reduce_2d(nodes, dim=DIM).localCheckpoint(eager=True)
+        skew_holder[tag] = {"docs": docs, "nodes": nodes}
+
+    def _skew_build(tag: str):
+        """ONE summarization level (build_level) over the materialized
+        nodes — the stage where a hot cell becomes a straggler task
+        (corpus gen/embed is timed separately: it is skew-independent
+        by construction and would dilute the ratio)."""
+        from raptor_rag_spark.config import EngineConfig
+        from raptor_rag_spark.operators.tree import build_level
+
+        parents = build_level(
+            skew_holder[tag]["nodes"], 1, 4, EngineConfig(embedding_dim=DIM)
+        )
+        skew_holder[tag]["parents"] = parents.count()
+
+    def _skew_dedup(tag: str):
+        from raptor_rag_spark.operators.dedup import dedup_paragraphs
+
+        dedup_paragraphs(skew_holder[tag]["docs"]).count()
+
+    def _skew_knn(tag: str):
+        from raptor_rag_spark.operators.knn import tile_knn_adaptive
+        from raptor_rag_spark.operators.tile import adaptive_tile_assignments
+
+        nodes = skew_holder[tag]["nodes"]
+        tiles = adaptive_tile_assignments(
+            nodes, "node_id", base_resolution=3, max_occupancy=256, max_resolution=9
+        )
+        q = (
+            nodes.orderBy("node_id")
+            .limit(200)
+            .select(
+                F.col("node_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+                "x",
+                "y",
+            )
+        )
+        tile_knn_adaptive(
+            q, nodes.select("node_id", "embedding"), tiles, k=10, ring=3, max_ring=8
+        ).count()
+
+    for _tag in ("uniform", "hot"):
+        timed(
+            f"skew_corpus_{_tag}",
+            lambda t=_tag: _skew_nodes(t, 0.3 if t == "hot" else 0.0),
+        )
+        timed(f"skew_build_{_tag}", lambda t=_tag: _skew_build(t))
+        timed(f"skew_dedup_{_tag}", lambda t=_tag: _skew_dedup(t))
+        timed(f"skew_knn_{_tag}", lambda t=_tag: _skew_knn(t))
+
+    def _skew_balance() -> None:
+        """Task-balance of the summarizer shuffle on the HOT corpus:
+        rows per partition after the exact repartition build_level
+        performs (hash on cell_id at defaultParallelism). max/median
+        across non-empty partitions — the straggler factor a hot cell
+        would cause."""
+        from pyspark.sql import functions as F
+
+        from raptor_rag_spark.config import EngineConfig
+        from raptor_rag_spark.operators.tree import _assign_cells_with_cap
+
+        assigned = _assign_cells_with_cap(
+            skew_holder["hot"]["nodes"], 4, EngineConfig(embedding_dim=DIM)
+        )
+        par = spark.sparkContext.defaultParallelism
+        counts = [
+            r["count"]
+            for r in assigned.repartition(par, "cell_id")
+            .withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .count()
+            .collect()
+        ]
+        counts.sort()
+        med = counts[len(counts) // 2] if counts else 0
+        skew_holder["task_rows_max"] = max(counts) if counts else 0
+        skew_holder["task_rows_median"] = med
+        skew_holder["max_over_median"] = (
+            round(max(counts) / med, 2) if med else None
+        )
+
+    timed("skew_task_balance", _skew_balance)
+    skew_holder.pop("uniform", None)
+    skew_holder.pop("hot", None)
+
     total = round(time.time() - t_total0, 3)
     build_t = timings["build_pipeline"]
     knn_t = timings["knn_tiled_1000q"]
@@ -1046,6 +1166,16 @@ def main() -> None:
                 2,
             ),
             "incremental_clustered_rows": tree_holder.get("clustered_rows"),
+            "skew_ratio_build": round(
+                timings["skew_build_hot"] / timings["skew_build_uniform"], 3
+            ),
+            "skew_ratio_dedup": round(
+                timings["skew_dedup_hot"] / timings["skew_dedup_uniform"], 3
+            ),
+            "skew_ratio_knn": round(
+                timings["skew_knn_hot"] / timings["skew_knn_uniform"], 3
+            ),
+            "skew_task_rows_max_over_median": skew_holder.get("max_over_median"),
         },
     }
     spark.stop()

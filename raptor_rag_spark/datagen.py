@@ -46,7 +46,7 @@ def _zipf_probs(n: int, alpha: float) -> np.ndarray:
     return w / w.sum()
 
 
-def _make_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
+def _make_rows(ids: np.ndarray, seed: int, hot_frac: float = 0.0) -> pd.DataFrame:
     dom_p = _zipf_probs(len(_DOMAINS), 1.3)
     lang_p = _zipf_probs(len(_LANGS), 1.2)
     t0 = dt.datetime(2024, 1, 1)
@@ -54,10 +54,21 @@ def _make_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for pid in ids:
         rng = np.random.RandomState(seed + int(pid))  # per-row determinism
-        domain = _DOMAINS[rng.choice(len(_DOMAINS), p=dom_p)]
-        lang = _LANGS[rng.choice(len(_LANGS), p=lang_p)]
+        # deliberate hot-key stress: route ``hot_frac`` of the pages
+        # (deterministic by pid, partition-invariant) to ONE domain +
+        # language, drawing their text from a 3-sentence sub-pool so
+        # their bag-of-token embeddings collapse into one tight region
+        # (-> one hot tile cell) — the north_rule's popular-domain /
+        # popular-language skew in its worst-case form
+        hot = (int(pid) % 1000) < int(hot_frac * 1000)
+        if hot:
+            domain, lang = _DOMAINS[0], _LANGS[0]
+        else:
+            domain = _DOMAINS[rng.choice(len(_DOMAINS), p=dom_p)]
+            lang = _LANGS[rng.choice(len(_LANGS), p=lang_p)]
         n_sent = rng.randint(2, 41)
-        idx = rng.randint(0, len(_SENTENCE_POOL), size=n_sent)
+        pool = 3 if hot else len(_SENTENCE_POOL)
+        idx = rng.randint(0, pool, size=n_sent)
         text = " ".join(_SENTENCE_POOL[i] for i in idx)
         title = f"Page {pid} on {domain}"
         html = (
@@ -81,12 +92,22 @@ def _make_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
     )
 
 
-def synthetic_pages(spark: SparkSession, n: int = 2000, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def synthetic_pages(
+    spark: SparkSession,
+    n: int = 2000,
+    seed: int = 42,
+    partitions: int | None = None,
+    hot_frac: float = 0.0,
+) -> DataFrame:
+    """``hot_frac`` > 0 makes that fraction of pages a single hot
+    domain/language with near-identical text (see _make_rows) — the
+    skewed-corpus stress input. Default 0.0 keeps the historical
+    corpus byte-identical (hot_frac=0 selects no rows)."""
     parts = partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n, 1, parts)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _make_rows(pdf["id"].to_numpy(), seed)
+            yield _make_rows(pdf["id"].to_numpy(), seed, hot_frac)
 
     return base.mapInPandas(gen, PAGES_SCHEMA)
