@@ -1030,6 +1030,8 @@ def main() -> None:
         dedup_paragraphs(skew_holder[tag]["docs"]).count()
 
     def _skew_knn(tag: str):
+        from pyspark.sql import functions as F
+
         from raptor_rag_spark.operators.knn import tile_knn_adaptive
         from raptor_rag_spark.operators.tile import adaptive_tile_assignments
 
