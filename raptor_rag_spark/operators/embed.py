@@ -142,7 +142,13 @@ def http_embed_fn(
                             f"attempts: {exc}"
                         ) from exc
                     time.sleep(min(0.05 * 2**attempt, 2.0))
-        mat = np.asarray(rows, dtype=np.float32)
+        # np.asarray([]) is shape (0,), not (0, dim) — an empty Arrow
+        # batch must pass the shape check like any other
+        mat = (
+            np.zeros((0, dim), dtype=np.float32)
+            if not rows
+            else np.asarray(rows, dtype=np.float32)
+        )
         if mat.shape != (len(vals), dim):
             raise ValueError(
                 f"embedding service returned shape {mat.shape}, "

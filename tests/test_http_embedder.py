@@ -155,3 +155,15 @@ def test_http_embedder_exhausted_retries_fail_loudly(spark, mock_service):
     fn = http_embed_fn(mock_service, dim=DIM, max_retries=2)
     with pytest.raises(Exception, match="failed after 2 attempts"):
         embed_texts(df, dim=DIM, embed_fn=fn).collect()
+
+
+def test_http_embedder_empty_batch_is_total(mock_service):
+    """An empty pandas batch (legal for a scalar-iterator UDF) must
+    return a (0, dim) matrix, not trip the shape check on np's
+    1-D empty array."""
+    fn = http_embed_fn(mock_service, dim=DIM)
+    out = fn(pd.Series([], dtype=object))
+    assert out.shape == (0, DIM)
+    assert out.dtype == np.float32
+    # and no HTTP request was made for zero rows
+    assert _MockVllm.state["batches"] == []
