@@ -30,6 +30,16 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
 DIM = 64
+# min-of-N repeats for the heavy one-shot slots whose timings feed the
+# HEADLINE throughput fields (build_docs_per_sec, tree_build_docs_per_
+# sec, incremental_fuzzy_dedup_docs_per_sec). Co-tenant interference on
+# this box only ever ADDS time, and these slots are the longest-running
+# — one polluted window understated build throughput 3.6x in
+# bench_r5b_full.json vs the clean rerun. Slots that MUTATE shared
+# state (the incremental appends — content-id dedup makes a second run
+# different work) stay single-pass; their headline outputs (recompute
+# fractions) are deterministic, not timings.
+HEAVY_REPS = max(1, int(os.environ.get("SPARK_GRAFT_HEAVY_REPEATS", "2")))
 
 
 def _spark(cores: int, name: str):
@@ -346,10 +356,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, reps: int = 1, reset=None) -> None:
+        """min-of-``reps`` wall time; ``reset`` runs (untimed) between
+        repetitions to restore pre-slot state where a repeat needs it."""
+        best = None
+        for i in range(reps):
+            if i and reset is not None:
+                reset()
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     t_total0 = time.time()
     load_start = os.getloadavg()
@@ -361,7 +379,7 @@ def main() -> None:
         n_docs_holder["docs"] = n_docs
         n_docs_holder["chunks"] = n_chunks
 
-    timed("build_pipeline", _build)
+    timed("build_pipeline", _build, reps=HEAVY_REPS)
 
     tree_holder: dict = {}
 
@@ -387,7 +405,14 @@ def main() -> None:
             start_resolution=4, max_layers=6, embed_dim=DIM,
         ).count()
 
-    timed("tree_build_full", _tree_build)
+    def _tree_reset():
+        # drop the previous repetition's tree so repeats don't leak
+        # tempdirs; each run builds into a fresh mkdtemp anyway
+        import shutil
+
+        shutil.rmtree(tree_holder.get("base", ""), ignore_errors=True)
+
+    timed("tree_build_full", _tree_build, reps=HEAVY_REPS, reset=_tree_reset)
 
     def _incremental_append():
         """Affected-level maintenance: append 1% new docs to the tree
@@ -945,35 +970,52 @@ def main() -> None:
     # ---- incremental fuzzy dedup: minhash signature store
     from pyspark.sql import functions as _F
 
-    _mh_dir = _tempfile.mkdtemp(prefix="bench_mh_")
     _mh_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
     _mh_holder: dict = {}
-
-    def _minhash_store_build():
-        from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
-
-        _mh_holder["store"] = MinHashSignatureStore.build(
-            spark, _mh_docs.filter(_F.col("doc_id") % 10 != 0), _mh_dir + "/mh"
-        )
-
-    timed("minhash_store_build", _minhash_store_build)
-
     _mh_batch = _mh_docs.filter(_F.col("doc_id") % 10 == 0)
     pipe_holder["mh_batch_docs"] = _mh_batch.count()
 
-    def _minhash_store_ingest():
-        """Batch-vs-corpus near-dup scrub via the persisted store:
-        append O(batch) signatures, match against everything seen."""
+    def _mh_cleanup():
+        store = _mh_holder.pop("store", None)
+        if store is not None:
+            for _t in store.meta["tables"].values():
+                spark.sql(f"DROP TABLE IF EXISTS {_t}")
+        _shutil.rmtree(_mh_holder.pop("dir", ""), ignore_errors=True)
+
+    # build+ingest repeat as a PAIR (ingest is an exact-once append —
+    # re-ingesting the same batch into the same store would dedup to a
+    # no-op and record a dishonest min), each repetition against a
+    # fresh store dir (table names are path-digest-derived, no catalog
+    # collision). ingest feeds the incremental_fuzzy_dedup_docs_per_sec
+    # headline field.
+    _mh_best: dict = {}
+    for _rep in range(HEAVY_REPS):
+        if _rep:
+            _mh_cleanup()
+        from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+        _mh_holder["dir"] = _tempfile.mkdtemp(prefix="bench_mh_")
+        _t0 = time.time()
+        _mh_holder["store"] = MinHashSignatureStore.build(
+            spark,
+            _mh_docs.filter(_F.col("doc_id") % 10 != 0),
+            _mh_holder["dir"] + "/mh",
+        )
+        _tb = time.time() - _t0
+        # batch-vs-corpus near-dup scrub via the persisted store:
+        # append O(batch) signatures, match against everything seen
+        _t0 = time.time()
         _mh_holder["store"].ingest(_mh_batch).write.format("noop").mode(
             "overwrite"
         ).save()
-
-    timed("minhash_store_ingest", _minhash_store_ingest)
-    for _t in _mh_holder["store"].meta["tables"].values():
-        spark.sql(f"DROP TABLE IF EXISTS {_t}")
-    _shutil.rmtree(_mh_dir, ignore_errors=True)
+        _ti = time.time() - _t0
+        _mh_best["build"] = min(_mh_best.get("build", _tb), _tb)
+        _mh_best["ingest"] = min(_mh_best.get("ingest", _ti), _ti)
+    timings["minhash_store_build"] = round(_mh_best["build"], 3)
+    timings["minhash_store_ingest"] = round(_mh_best["ingest"], 3)
+    _mh_cleanup()
 
     # ---- skewed-corpus stress: the same build-level -> paragraph-dedup
     # -> kNN path on a uniform corpus and on a deliberately hot one
