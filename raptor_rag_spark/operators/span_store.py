@@ -154,8 +154,10 @@ class SpanFingerprintStore:
         counts (the analogue of building the suffix array)."""
         import hashlib
 
+        from raptor_rag_spark.operators.minhash_store import _validate_store_path
         from raptor_rag_spark.sources.bucketed import write_bucketed
 
+        _validate_store_path(path)
         if table is None:  # stable across processes (hash() is salted)
             digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()
             table = f"span_fp_{digest[:12]}"
@@ -180,6 +182,9 @@ class SpanFingerprintStore:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SpanFingerprintStore":
+        from raptor_rag_spark.operators.minhash_store import _validate_store_path
+
+        _validate_store_path(path)
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         store = cls(spark, path, meta)

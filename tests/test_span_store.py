@@ -171,3 +171,17 @@ def test_crashed_compaction_heals_on_entry(spark, store_and_corpus):
         fh.write("not parquet")
     assert _md5_map(store.scrub_batch(probe)) == want
     assert not os.path.exists(leftover)
+
+
+def test_span_store_path_with_quote_rejected(spark, tmp_path):
+    """Same DDL-interpolation hazard as the minhash store: the path
+    lands in CREATE TABLE ... LOCATION '<path>'; a quoted path must
+    fail fast at build/load, not at first read."""
+    from raptor_rag_spark.operators.span_store import SpanFingerprintStore
+
+    bad = str(tmp_path / "o'store")
+    docs = _df(spark, _corpus_rows(n=2))
+    with pytest.raises(ValueError, match="quotes"):
+        SpanFingerprintStore.build(spark, docs, bad, k=K, n_buckets=2)
+    with pytest.raises(ValueError, match="quotes"):
+        SpanFingerprintStore.load(spark, bad)
