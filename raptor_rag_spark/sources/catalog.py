@@ -126,6 +126,10 @@ class SnapshotTable:
     # -------------------------------------------------------- reads
     def _chain_dirs(self, snapshot_id: int, meta: dict) -> list[str]:
         by_id = {s["id"]: s for s in meta["snapshots"]}
+        if snapshot_id not in by_id:
+            raise ValueError(
+                f"unknown snapshot {snapshot_id} (expired?); have {sorted(by_id)}"
+            )
         dirs: list[str] = []
         sid: int | None = snapshot_id
         while sid is not None:
@@ -133,6 +137,99 @@ class SnapshotTable:
             dirs = s["dirs"] + dirs
             sid = s["parent"]
         return [os.path.join(self.dir, d) for d in dirs]
+
+    def read_incremental(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Iceberg-style incremental scan: the rows appended AFTER
+        ``from_snapshot_id`` up to and including ``to_snapshot_id``
+        (default: current). Planning is O(metadata) and the scan reads
+        ONLY the delta snapshots' data dirs — never the base table —
+        so feeding each crawl day's appends to the dedup stores /
+        append planner costs O(batch) I/O regardless of table size.
+
+        Requires ``from`` to be an ancestor of ``to`` on the snapshot
+        chain; across a rollback fork there is no well-defined delta
+        (same restriction as Iceberg's incremental read) — raises."""
+        meta = self._load()
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        to_id = to_snapshot_id if to_snapshot_id is not None else meta["current"]
+        for sid in (from_snapshot_id, to_id):
+            if sid not in by_id:
+                raise ValueError(f"unknown snapshot {sid}; have {sorted(by_id)}")
+        dirs: list[str] = []
+        sid: int | None = to_id
+        while sid is not None and sid != from_snapshot_id:
+            s = by_id[sid]
+            dirs = s["dirs"] + dirs
+            sid = s["parent"]
+        if sid != from_snapshot_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_id} "
+                "(rollback fork?) — no well-defined incremental delta"
+            )
+        if not dirs:  # from == to: empty delta with the table schema
+            return self.read(to_id).limit(0)
+        from functools import reduce
+
+        scans = [
+            self.spark.read.option("basePath", os.path.join(self.dir, d))
+            .parquet(os.path.join(self.dir, d))
+            for d in dirs
+        ]
+        return reduce(lambda a, b: a.unionByName(b), scans)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Iceberg's expire_snapshots: drop history, keep the current
+        chain's most recent ``keep_last`` snapshots readable by id.
+        Only snapshots NOT on the current chain's kept suffix are
+        expired; their ids leave the metadata and any data dirs no
+        kept snapshot references are deleted. The oldest kept snapshot
+        absorbs the expired prefix's data dirs (its chain must still
+        read the full table), so `read(kept_id)` results never change
+        — only older time-travel ids disappear.
+
+        Commit order is metadata FIRST, file deletion second (a crash
+        between the two leaves unreferenced orphan dirs, never a
+        committed metadata pointing at missing files). Returns the
+        expired snapshot ids."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        meta = self._load()
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        chain: list[int] = []  # current chain, oldest -> newest
+        sid: int | None = meta["current"]
+        while sid is not None:
+            chain.insert(0, sid)
+            sid = by_id[sid]["parent"]
+        kept = chain[-keep_last:]
+        expired = [s["id"] for s in meta["snapshots"] if s["id"] not in kept]
+        if not expired:
+            return []
+        # the oldest kept snapshot absorbs its expired ancestry's dirs
+        oldest = by_id[kept[0]]
+        absorbed: list[str] = []
+        sid = oldest["parent"]
+        while sid is not None:
+            absorbed = by_id[sid]["dirs"] + absorbed
+            sid = by_id[sid]["parent"]
+        oldest["dirs"] = absorbed + oldest["dirs"]
+        oldest["parent"] = None
+        kept_dirs = {d for i in kept for d in by_id[i]["dirs"]}
+        drop_dirs = [
+            d
+            for s in meta["snapshots"]
+            if s["id"] in expired
+            for d in s["dirs"]
+            if d not in kept_dirs
+        ]
+        meta["snapshots"] = [s for s in meta["snapshots"] if s["id"] in kept]
+        self._store(meta)  # commit before any deletion
+        for d in drop_dirs:
+            shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
+        return expired
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Scan the table as of a snapshot (default: current) — the

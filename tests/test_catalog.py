@@ -96,3 +96,82 @@ def test_snapshot_contract_against_real_iceberg(spark, tmp_path):
     assert asof.count() == 5
     spark.sql(f"CALL it.system.rollback_to_snapshot('db.docs', {first})")
     assert spark.table("it.db.docs").count() == 5
+
+
+def test_incremental_scan_reads_only_the_delta(spark, cat):
+    """read_incremental(a, b) == exactly the rows appended after a up
+    to b, and its plan scans ONLY the delta snapshot dirs."""
+    t = cat.create_table("inc", _df(spark, 0, 100))
+    s1 = t.current_snapshot_id()
+    t.append(_df(spark, 100, 130))
+    s2 = t.current_snapshot_id()
+    t.append(_df(spark, 130, 170))
+    s3 = t.current_snapshot_id()
+    got = {r["id"] for r in t.read_incremental(s1).select("id").collect()}
+    assert got == set(range(100, 170))
+    got2 = {r["id"] for r in t.read_incremental(s2, s3).select("id").collect()}
+    assert got2 == set(range(130, 170))
+    # from == to: empty delta with the table schema
+    empty = t.read_incremental(s3, s3)
+    assert empty.count() == 0 and empty.columns == t.read().columns
+    # the delta scan never touches the base snapshot's files
+    plan = t.read_incremental(s1)._jdf.queryExecution().executedPlan().toString()
+    assert "snap-1" not in plan
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read_incremental(99)
+
+
+def test_incremental_scan_rejects_rollback_fork(spark, cat):
+    t = cat.create_table("fork", _df(spark, 0, 50))
+    s1 = t.current_snapshot_id()
+    t.append(_df(spark, 50, 60))
+    s2 = t.current_snapshot_id()
+    t.rollback(s1)
+    t.append(_df(spark, 60, 70))  # forks the chain: s3.parent == s1
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.read_incremental(s2)
+
+
+def test_expire_snapshots_keeps_reads_and_drops_history(spark, cat):
+    import os
+
+    t = cat.create_table("exp", _df(spark, 0, 100))
+    t.append(_df(spark, 100, 130))
+    s2 = t.current_snapshot_id()
+    t.append(_df(spark, 130, 170))
+    s3 = t.current_snapshot_id()
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [1]
+    # kept snapshots read byte-identically (oldest absorbed the prefix)
+    assert t.read(snapshot_id=s2).count() == 130
+    assert t.read(snapshot_id=s3).count() == 170
+    assert [s["id"] for s in t.snapshots()] == [s2, s3]
+    # expired id no longer readable; no dirs were deleted (all absorbed)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(snapshot_id=1)
+    assert os.path.exists(os.path.join(t.dir, "snap-1"))
+    # idempotent: nothing further to expire at the same horizon
+    assert t.expire_snapshots(keep_last=2) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+
+
+def test_expire_snapshots_deletes_forked_dirs_only(spark, cat):
+    """A rollback fork's own data dir is unreachable from the kept
+    chain -> deleted; shared ancestry dirs survive."""
+    import os
+
+    t = cat.create_table("expf", _df(spark, 0, 50))
+    s1 = t.current_snapshot_id()
+    t.append(_df(spark, 50, 60))
+    s2 = t.current_snapshot_id()
+    t.rollback(s1)
+    t.append(_df(spark, 60, 70))  # fork: this becomes the current chain
+    s3 = t.current_snapshot_id()
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [s2]
+    assert not os.path.exists(os.path.join(t.dir, "snap-2"))
+    assert os.path.exists(os.path.join(t.dir, "snap-1"))
+    assert t.read(snapshot_id=s3).count() == 60
+    ids = {r["id"] for r in t.read().select("id").collect()}
+    assert ids == set(range(50)) | set(range(60, 70))
