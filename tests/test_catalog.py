@@ -175,3 +175,43 @@ def test_expire_snapshots_deletes_forked_dirs_only(spark, cat):
     assert t.read(snapshot_id=s3).count() == 60
     ids = {r["id"] for r in t.read().select("id").collect()}
     assert ids == set(range(50)) | set(range(60, 70))
+
+
+def test_incremental_scan_feeds_crawl_ingest(spark, cat, tmp_path):
+    """The crawl-day composition through the catalog front door:
+    yesterday's corpus is a snapshot; today's crawl lands as append;
+    read_incremental(yesterday) is EXACTLY today's rows and feeds the
+    persisted fuzzy-dedup store at O(batch)."""
+    from raptor_rag_spark.datagen import synthetic_pages
+    from raptor_rag_spark.operators.minhash_store import MinHashSignatureStore
+
+    corpus = synthetic_pages(spark, n=30, seed=61)
+    t = cat.create_table("crawl", corpus)
+    s_yesterday = t.current_snapshot_id()
+    mh = MinHashSignatureStore.build(
+        spark, corpus, str(tmp_path / "mh"),
+        id_col="page_id", text_col="text", n_buckets=4,
+    )
+    # today: 5 fresh pages + 1 near-dup (new url, near-identical text)
+    fresh = synthetic_pages(spark, n=5, seed=6100).withColumn(
+        "page_id", F.col("page_id") + 8000
+    )
+    neardup = corpus.limit(1).select(
+        (F.col("page_id") + 9000).alias("page_id"),
+        F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
+        "warc_ts",
+        "html",
+        F.concat(F.col("text"), F.lit(" tiny tail")).alias("text"),
+        "lang",
+    )
+    t.append(fresh.unionByName(neardup))
+    delta = t.read_incremental(s_yesterday)
+    assert delta.count() == 6
+    assert {r["page_id"] for r in delta.select("page_id").collect()} == set(
+        range(8000, 8005)
+    ) | {9000 + corpus.limit(1).collect()[0]["page_id"]}
+    kept = mh.ingest(delta, threshold=0.8)
+    assert kept.count() == 5
+    assert kept.filter(F.col("page_id") >= 9000).count() == 0
+    for _tab in mh.meta["tables"].values():
+        spark.sql(f"DROP TABLE IF EXISTS {_tab}")
