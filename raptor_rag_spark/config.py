@@ -8,6 +8,7 @@ dataclass; scalar defaults trace to the reference where they exist.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 
@@ -48,6 +49,15 @@ class EngineConfig:
     # scale knobs
     shuffle_partitions: int = 32
     broadcast_node_limit: int = 2_000_000  # rows under which the node side broadcasts
+
+    # summarizer seam (reference SummarizationModels.py:17-44): a
+    # ``(texts: list[str], max_tokens: int) -> str`` callable used by
+    # EVERY build path — full build, resume, AND incremental recompute
+    # (a tree must never mix summarizer dialects across appends).
+    # None -> the deterministic extractive summarizer; plug
+    # ``operators.tree.http_summarize_fn(...)`` for a live LLM.
+    # Compared by identity in __eq__/hash (dataclass default).
+    summarize_fn: Callable[[list[str], int], str] | None = None
 
     def __post_init__(self) -> None:
         if self.max_tokens <= 0:

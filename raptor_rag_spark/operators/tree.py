@@ -75,6 +75,100 @@ def extractive_summary(texts: list[str], max_tokens: int, tokenizer=DEFAULT_TOKE
     return " ".join(picked)
 
 
+def http_summarize_fn(
+    base_url: str,
+    model: str = "gpt-3.5-turbo",
+    max_retries: int = 6,
+    timeout: float = 60.0,
+):
+    """Production-shaped ``summarize_fn`` for :func:`build_level` /
+    :func:`build_tree`: POST each cell's context to an OpenAI-style
+    chat-completions service, mirroring the reference's LLM summarizer
+    contract —
+
+    - context construction: member texts joined exactly like the
+      reference's ``get_text`` (utils.py:181-196 — each text's lines
+      space-joined, texts concatenated with NO separator, quirk
+      preserved);
+    - prompt shape: system "You are a helpful assistant." + user
+      "Write a summary of the following, including as many key details
+      as possible: {context}:" with ``max_tokens`` passed through
+      (SummarizationModels.py:28-40);
+    - response: ``choices[0].message.content``
+      (SummarizationModels.py:42);
+    - bounded exponential retries, ``stop_after_attempt(6)`` analog
+      (SummarizationModels.py:22). Deliberate deviations from the
+      reference's ``except: return e`` (SummarizationModels.py:43-45,
+      which would write the stringified exception INTO the tree as a
+      node's text): 4xx rejections raise immediately (a retry cannot
+      fix a rejected payload), and an exhausted retry budget raises so
+      the Spark task fails and re-schedules — a summarizer outage must
+      never silently poison parent nodes.
+
+    Stdlib-only (urllib); runs inside the applyInPandas worker, one
+    HTTP call per cell. Returns the plug-in ``(texts, max_tokens) ->
+    str`` callable ``build_level`` expects."""
+    import json as _json
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    url = base_url.rstrip("/") + "/v1/chat/completions"
+
+    def fn(texts: list[str], max_tokens: int) -> str:
+        context = "".join(" ".join(("" if t is None else str(t)).splitlines()) for t in texts)
+        body = _json.dumps(
+            {
+                "model": model,
+                "messages": [
+                    {"role": "system", "content": "You are a helpful assistant."},
+                    {
+                        "role": "user",
+                        "content": (
+                            "Write a summary of the following, including "
+                            f"as many key details as possible: {context}:"
+                        ),
+                    },
+                ],
+                "max_tokens": max_tokens,
+            }
+        ).encode()
+        for attempt in range(max_retries):
+            try:
+                req = urllib.request.Request(
+                    url,
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    data = _json.loads(resp.read())
+                out = data["choices"][0]["message"]["content"]
+                if not isinstance(out, str):
+                    raise ValueError(f"summarization service returned non-text: {type(out).__name__}")
+                return out
+            except urllib.error.HTTPError as exc:
+                if 400 <= exc.code < 500:
+                    detail = exc.read()[:200]
+                    raise RuntimeError(
+                        f"summarization service rejected the request ({exc.code}): {detail!r}"
+                    ) from exc
+                if attempt == max_retries - 1:
+                    raise RuntimeError(
+                        f"summarization service failed after {max_retries} attempts: HTTP {exc.code}"
+                    ) from exc
+                _time.sleep(min(0.05 * 2**attempt, 2.0))
+            except (urllib.error.URLError, OSError) as exc:
+                if attempt == max_retries - 1:
+                    raise RuntimeError(
+                        f"summarization service failed after {max_retries} attempts: {exc}"
+                    ) from exc
+                _time.sleep(min(0.05 * 2**attempt, 2.0))
+        raise AssertionError("unreachable")
+
+    return fn
+
+
 def node_id_for_cell(layer: int):
     """Column fn: bijective parent id = layer<<48 | res<<40 | cell-as-int.
 
@@ -182,7 +276,7 @@ def build_level(
 
     Input needs: node_id, text, n_tokens, x, y.
     """
-    summ = summarize_fn or (lambda texts, mt: extractive_summary(texts, mt))
+    summ = summarize_fn or cfg.summarize_fn or (lambda texts, mt: extractive_summary(texts, mt))
     assigned = _assign_cells_with_cap(nodes, resolution, cfg)
 
     out_schema = "cell_id string, resolution int, text string, children array<long>, n_tokens int"
@@ -382,9 +476,14 @@ def build_tree(
     max_layers: int = 8,
     embed_dim: int | None = None,
     resume: bool = True,
+    summarize_fn: Callable[[list[str], int], str] | None = None,
 ) -> DataFrame:
     """Full tree: leaves (node_id, text, n_tokens, embedding) -> all
     levels, checkpointed per level, resumable mid-build.
+
+    ``summarize_fn`` threads through to every :func:`build_level` call
+    (e.g. :func:`http_summarize_fn` for a live LLM endpoint); default
+    is the deterministic extractive summarizer.
 
     Returns the union of all levels (the collapsed-tree node table:
     node_id, layer, cell_id, text, children, n_tokens, embedding, x, y).
@@ -420,7 +519,7 @@ def build_tree(
             break
         current = read_level(spark, checkpoint_base, layer)
         res = max(start_resolution - layer, 0)
-        parents = build_level(current, layer + 1, res, cfg)
+        parents = build_level(current, layer + 1, res, cfg, summarize_fn=summarize_fn)
         parents = embed_texts(parents, dim=dim)
         parents = reduce_2d(parents, dim=dim, seed=cfg.seed)
         parents = parents.select(
