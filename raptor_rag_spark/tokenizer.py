@@ -5,7 +5,10 @@ The reference counts tokens with tiktoken ``cl100k_base``
 environment, so the engine's default tokenizer is a deterministic
 regex tokenizer (word runs + single punctuation marks — BPE-ish
 granularity). It is pluggable: anything with ``encode(str) -> list``
-works, so tiktoken drops in for production parity.
+works. For exact cl100k parity the engine ships its own from-scratch
+BPE implementation (``functions/bpe.py``) — only the public
+``cl100k_base.tiktoken`` vocabulary data file is needed, not the
+tiktoken package.
 
 The token pattern is written with explicit ASCII classes so that the
 SAME count is computable in Python ``re``, Java regex (Spark
