@@ -63,7 +63,11 @@ class RaptorEngine:
         is resumable instead)."""
         if isinstance(docs, str):
             docs = self.spark.createDataFrame([(0, docs)], f"{id_col} long, {text_col} string")
-        chunks = chunk_documents(docs, id_col=id_col, text_col=text_col, max_tokens=self.cfg.max_tokens)
+        chunks = chunk_documents(
+            docs, id_col=id_col, text_col=text_col,
+            max_tokens=self.cfg.max_tokens,
+            tokenizer_factory=self.cfg.tokenizer_factory,
+        )
         leaves = (
             embed_texts(chunks, dim=self.dim)
             .withColumnRenamed("chunk_id", "node_id")
@@ -121,6 +125,7 @@ class RaptorEngine:
         chunks = chunk_documents(
             docs, id_col=id_col, text_col=text_col,
             max_tokens=self.cfg.max_tokens, id_scheme="hash",
+            tokenizer_factory=self.cfg.tokenizer_factory,
         )
         leaves = (
             embed_texts(chunks, dim=self.dim)

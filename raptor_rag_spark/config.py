@@ -59,6 +59,16 @@ class EngineConfig:
     # Compared by identity in __eq__/hash (dataclass default).
     summarize_fn: Callable[[list[str], int], str] | None = None
 
+    # tokenizer seam (reference utils.py:43,62 — tiktoken cl100k_base):
+    # a zero-arg factory returning an object with ``encode(str) ->
+    # list``, constructed ONCE PER WORKER inside chunking UDFs (the
+    # tokenizer itself may be unpicklable/heavy; the factory is what
+    # ships). None -> the deterministic 3-engine regex tokenizer. For
+    # exact reference chunk boundaries plug
+    # ``functions.bpe.bpe_tokenizer_factory("cl100k_base.tiktoken")``
+    # (ship the public vocab file via spark-submit --files).
+    tokenizer_factory: Callable[[], object] | None = None
+
     def __post_init__(self) -> None:
         if self.max_tokens <= 0:
             raise ValueError("max_tokens must be positive")

@@ -276,7 +276,18 @@ def build_level(
 
     Input needs: node_id, text, n_tokens, x, y.
     """
-    summ = summarize_fn or cfg.summarize_fn or (lambda texts, mt: extractive_summary(texts, mt))
+    # tokenizer seam: parent n_tokens (and the extractive fallback's
+    # token budget) must count in the SAME dialect the leaves were
+    # chunked with — a BPE-chunked tree with regex parent counts would
+    # silently mix dialects in every downstream token budget. The
+    # factory runs inside the worker (per-worker cached for BPE);
+    # default is the oracle-green regex tokenizer, unchanged.
+    tok_factory = cfg.tokenizer_factory or (lambda: DEFAULT_TOKENIZER)
+    summ = (
+        summarize_fn
+        or cfg.summarize_fn
+        or (lambda texts, mt: extractive_summary(texts, mt, tokenizer=tok_factory()))
+    )
     assigned = _assign_cells_with_cap(nodes, resolution, cfg)
 
     out_schema = "cell_id string, resolution int, text string, children array<long>, n_tokens int"
@@ -292,7 +303,7 @@ def build_level(
                 "resolution": [int(pdf["resolution"].iloc[0])],
                 "text": [text],
                 "children": [[int(v) for v in pdf["node_id"]]],
-                "n_tokens": [len(DEFAULT_TOKENIZER.encode(text))],
+                "n_tokens": [len(tok_factory().encode(text))],
             }
         )
 

@@ -175,3 +175,32 @@ def test_chunker_accepts_bpe_factory(spark, toy_vocab_file):
         assert row["n_tokens"] >= 1
         # every chunk respects the cap or is a single long sentence
         assert row["n_tokens"] <= 8 or len(tok.encode(row["text"])) > 8
+
+
+def test_engine_tokenizer_seam_end_to_end(spark, toy_vocab_file, tmp_path):
+    """EngineConfig.tokenizer_factory threads through BOTH chunking and
+    parent summarization: every node's n_tokens (leaves AND parents)
+    must be the BPE count of its text — no dialect mixing."""
+    from raptor_rag_spark.api import RaptorEngine
+    from raptor_rag_spark.config import EngineConfig
+
+    cfg = EngineConfig(
+        embedding_dim=16,
+        max_tokens=30,
+        tokenizer_factory=bpe_tokenizer_factory(toy_vocab_file),
+    )
+    eng = RaptorEngine(spark, str(tmp_path / "tree"), cfg, embed_dim=16)
+    docs = spark.createDataFrame(
+        [(i, f"The thing number {i} sings loudly. Another thing rings here. "
+              f"Something else entirely happens in the end {i}.")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    eng.add_documents(docs)
+    rows = eng.nodes.collect()
+    assert rows and any(r["layer"] > 0 for r in rows)  # built parents too
+    tok = BPETokenizer(toy_ranks())
+    for r in rows:
+        assert r["n_tokens"] == len(tok.encode(r["text"])), (
+            f"layer {r['layer']} node counts in the wrong tokenizer dialect"
+        )
