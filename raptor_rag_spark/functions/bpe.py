@@ -76,23 +76,87 @@ def load_tiktoken_bpe(path: str) -> dict[bytes, int]:
 
 def byte_pair_merge(piece: bytes, ranks: dict[bytes, int]) -> list[bytes]:
     """The BPE merge loop: start from single bytes and repeatedly merge
-    the adjacent pair with the LOWEST rank until no adjacent pair is in
-    the vocabulary. Ties cannot occur (ranks are unique); equal-rank
-    never happens, so leftmost scan order is only a tie-break in theory.
-    O(n^2) worst case per piece, but the pre-tokenizer caps pieces at
-    word/punctuation-run length (digits at 3), so n is small."""
-    parts = [piece[i : i + 1] for i in range(len(piece))]
-    while len(parts) > 1:
-        best_rank: int | None = None
-        best_i = -1
-        for i in range(len(parts) - 1):
-            r = ranks.get(parts[i] + parts[i + 1])
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_rank is None:
-            break
-        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
-    return parts
+    the adjacent pair with the LOWEST rank (leftmost occurrence first
+    when the same pair appears at several positions — identical-rank
+    entries can only be the same byte pair, ranks are unique) until no
+    adjacent pair is in the vocabulary.
+
+    Small pieces take the naive quadratic scan (lowest constant; the
+    typical word/punctuation piece is < 16 bytes). Large pieces — the
+    cl100k pre-tokenizer caps only digit runs at 3; letter runs
+    (``\\p{L}+``), punctuation runs and whitespace runs are UNBOUNDED,
+    and real crawl text carries 100 KB+ unbroken runs (base64 blobs,
+    minified JS, '!!!…' spam) — switch to a heap + linked-list merge,
+    O(n log n), so one pathological row can't wedge an executor task
+    for hours."""
+    if len(piece) <= 64:
+        parts = [piece[i : i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank: int | None = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+    return _byte_pair_merge_heap(piece, ranks)
+
+
+def _byte_pair_merge_heap(piece: bytes, ranks: dict[bytes, int]) -> list[bytes]:
+    """Heap-based merge, identical output to the naive scan.
+
+    Doubly-linked list over the parts (indexed by each part's start
+    offset — a merge keeps the LEFT part's offset, so offsets stay
+    monotone along the list and ``(rank, left_offset)`` heap order IS
+    lowest-rank-then-leftmost). Stale heap entries are skipped via
+    per-part version stamps: an entry records the versions of both
+    parts at push time and is valid only if both still match."""
+    import heapq
+
+    n = len(piece)
+    parts = [piece[i : i + 1] for i in range(n)]
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    ver = [0] * n
+
+    heap: list[tuple[int, int, int, int]] = []
+    for i in range(n - 1):
+        r = ranks.get(piece[i : i + 2])
+        if r is not None:
+            heap.append((r, i, 0, 0))
+    heapq.heapify(heap)
+
+    while heap:
+        r, i, vi, vj = heapq.heappop(heap)
+        j = nxt[i]
+        if j == -1 or not alive[i] or not alive[j] or ver[i] != vi or ver[j] != vj:
+            continue  # stale: one side already merged away or changed
+        parts[i] = parts[i] + parts[j]
+        ver[i] += 1
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[j] != -1:
+            prv[nxt[j]] = i
+        p, k = prv[i], nxt[i]
+        if p != -1:
+            rp = ranks.get(parts[p] + parts[i])
+            if rp is not None:
+                heapq.heappush(heap, (rp, p, ver[p], ver[i]))
+        if k != -1:
+            rk = ranks.get(parts[i] + parts[k])
+            if rk is not None:
+                heapq.heappush(heap, (rk, i, ver[i], ver[k]))
+
+    out = []
+    i = 0
+    while i != -1:
+        out.append(parts[i])
+        i = nxt[i]
+    return out
 
 
 class BPETokenizer:

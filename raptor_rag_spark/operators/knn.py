@@ -443,24 +443,18 @@ def _score_with_broadcast(
     b_index,
     b_mat,
     query_id: str = "query_id",
-    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score candidates against an ALREADY-broadcast query matrix
     (``b_index``: {query_id: row}, ``b_mat``: (n, d) float64). Lets a
     driver loop — tree traversal visits the same queries once per layer
     — collect and broadcast the query side ONCE instead of re-running
     the query-embedding plan per layer (the collect was ~2 s/layer of
-    pure fixed overhead at sf0.1).
-
-    ``passthrough``: extra input columns carried through the Arrow
-    kernel unchanged — lets the caller fuse a follow-up
-    fetch-columns-by-node_id join into the scoring pass when the
-    candidate set is small (traversal layers)."""
+    pure fixed overhead at sf0.1)."""
     import numpy as np
 
     from pyspark.sql import types as T
 
-    in_df = cand_with_emb.select(query_id, "node_id", *passthrough, "embedding")
+    in_df = cand_with_emb.select(query_id, "node_id", "embedding")
     out_schema = T.StructType(
         [f for f in in_df.schema.fields if f.name != "embedding"]
         + [T.StructField("dist", T.DoubleType())]

@@ -314,13 +314,16 @@ class MinHashSignatureStore:
             # max across multiple store sigs of a re-appended id;
             # threshold the UNROUNDED max (matching est_pairs_from_sigs'
             # order of operations) — rounding first can flip boundary
-            # pairs whenever k/n_hashes doesn't terminate in 6 decimals
+            # pairs whenever k/n_hashes doesn't terminate in 6 decimals.
+            # The returned est_jaccard is the UNROUNDED value too, so
+            # `est_jaccard >= threshold` holds row-for-row on the output
+            # (re-applying the filter downstream is a no-op); the
+            # oracle-pinned est_pairs_from_sigs rounds its output for
+            # cross-engine hash stability, which is why its boundary
+            # rows can DISPLAY below the threshold that admitted them.
             .groupBy("batch_id", "store_id")
-            .agg(F.max("est_jaccard").alias("_est_max"))
-            .filter(F.col("_est_max") >= threshold)
-            .select(
-                "batch_id", "store_id", F.round("_est_max", 6).alias("est_jaccard")
-            )
+            .agg(F.max("est_jaccard").alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
         )
         return est
 

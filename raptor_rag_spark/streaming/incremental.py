@@ -528,10 +528,25 @@ def incremental_update_planned(
 
     ledger = read_pending(checkpoint_base)
     if ledger["resolution"] is None:
+        if new_leaves is None:
+            # no ledger has ever been written and nothing is being
+            # appended: nothing can be pending — skip the level-0
+            # seeding scan (a defensive flush_appends() on an engine
+            # that never deferred must not pay an O(level-0) job) and
+            # return the collapsed table as-is
+            out = read_level(spark, checkpoint_base, 0)
+            for layer in range(1, top + 1):
+                out = out.unionByName(read_level(spark, checkpoint_base, layer))
+            return out
         ledger["resolution"] = int(start_resolution)
         # one-time size seed: per-base-cell leaf counts of the existing
         # level 0 (bounded by the base-cell universe; incremented per
-        # append afterwards — never rescanned)
+        # append afterwards — never rescanned). Persist the seeded
+        # ledger BEFORE the level-0 append commits: a crash between the
+        # append and the count-merge write would otherwise re-seed from
+        # a level 0 that already contains the batch and then re-add the
+        # batch counts on retry, inflating sizes for the tree's
+        # lifetime (sizes are never rescanned).
         ledger["sizes"] = {
             r["cell_id"]: int(r["n"])
             for r in tile(
@@ -542,6 +557,7 @@ def incremental_update_planned(
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        write_meta_atomic(_pending_path(checkpoint_base), ledger)
     elif int(ledger["resolution"]) != int(start_resolution):
         raise ValueError(
             f"pending ledger tracks cells at resolution {ledger['resolution']}, "

@@ -322,3 +322,48 @@ def test_engine_deferred_append_and_flush(spark, tmp_path):
         map(tuple, eager.nodes.select(*cols).collect())
     )
     assert eng.nodes.filter("layer = 0").count() == n_leaves
+
+
+def test_eager_append_after_deferred_settles_ledger(spark, tmp_path):
+    """Mixing deferred and eager appends must keep the pending ledger
+    coherent: an eager append on an engine with pending deferred cells
+    settles the whole ledger (no cell stays counted as pending after
+    its parents were recomputed; sizes keep counting eager leaves), and
+    the tree equals a from-scratch build over all docs."""
+    from raptor_rag_spark.api import RaptorEngine
+    from raptor_rag_spark.streaming.incremental import read_pending
+
+    docs = spark.createDataFrame(
+        [(i, f"epsilon zeta doc {i} " + "word " * (4 + i % 5)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(200 + i, f"eta theta fresh {i} " + "tail " * (3 + i % 4)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(300 + i, f"iota kappa late {i} " + "more " * (2 + i % 3)) for i in range(5)],
+        "doc_id long, text string",
+    )
+
+    eng = RaptorEngine(spark, checkpoint_base=str(tmp_path / "mix"), start_resolution=3)
+    eng.add_documents(docs)
+    eng.append_documents(d1, deferred=True, min_pending_per_cell=10**6)
+    assert read_pending(eng.base)["cells"]  # d1 pending
+
+    eng.append_documents(d2)  # eager — must settle, not bypass, the ledger
+    led = read_pending(eng.base)
+    assert not led["cells"]  # nothing left pending
+    assert led["flushes"] and led["flushes"][-1]["forced"]
+    assert sum(led["sizes"].values()) == eng.nodes.filter("layer = 0").count()
+
+    eager = RaptorEngine(
+        spark, checkpoint_base=str(tmp_path / "eager"), start_resolution=3
+    )
+    eager.add_documents(docs)
+    eager.append_documents(d1)
+    eager.append_documents(d2)
+    cols = ["node_id", "layer", "cell_id", "text", "n_tokens"]
+    assert sorted(map(tuple, eng.nodes.select(*cols).collect())) == sorted(
+        map(tuple, eager.nodes.select(*cols).collect())
+    )

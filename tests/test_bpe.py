@@ -204,3 +204,52 @@ def test_engine_tokenizer_seam_end_to_end(spark, toy_vocab_file, tmp_path):
         assert r["n_tokens"] == len(tok.encode(r["text"])), (
             f"layer {r['layer']} node counts in the wrong tokenizer dialect"
         )
+
+
+# --------------------------------------------------- heap-merge (large pieces)
+def test_heap_merge_matches_naive_scan():
+    """The heap + linked-list merge (pieces > 64 bytes) must produce
+    exactly the naive lowest-rank-leftmost result — cross-checked on
+    inputs that straddle the dispatch threshold."""
+    import random
+
+    from raptor_rag_spark.functions.bpe import _byte_pair_merge_heap
+
+    ranks = toy_ranks()
+    rng = random.Random(99)
+    corpus = [
+        b"the" * 40,
+        b"hello there in the thing " * 8,
+        bytes(rng.randrange(97, 123) for _ in range(300)),
+        b"in" * 100 + b"g",
+        b"\xf0\x9f\x98\x80" * 50,  # multi-byte utf-8 run
+    ]
+    for piece in corpus:
+        assert _byte_pair_merge_heap(piece, ranks) == brute_force_merge(piece, ranks)
+
+
+@settings(deadline=None, max_examples=50)
+@given(st.binary(min_size=65, max_size=200))
+def test_heap_merge_matches_independent_implementation(piece):
+    from raptor_rag_spark.functions.bpe import _byte_pair_merge_heap
+
+    assert _byte_pair_merge_heap(piece, toy_ranks()) == brute_force_merge(
+        piece, toy_ranks()
+    )
+
+
+def test_pathological_run_does_not_hang():
+    """Real crawl text carries 100 KB+ unbroken letter/punct runs
+    (base64 blobs, minified JS, '!!!…' spam); the cl100k pre-tokenizer
+    yields each as ONE piece. The merge must stay O(n log n): a 200 KB
+    run completes in seconds, not the hours the quadratic scan needs."""
+    import time
+
+    ranks = toy_ranks()
+    tok = BPETokenizer(ranks)
+    text = "hellothe" * 25_000  # one 200 KB \p{L}+ piece
+    t0 = time.time()
+    ids = tok.encode(text)
+    took = time.time() - t0
+    assert took < 20, f"200 KB single-piece encode took {took:.1f}s"
+    assert tok.decode_bytes(ids) == text.encode("utf-8")

@@ -30,8 +30,12 @@ def _corpus_rows(seed=21, n=20, start_id=0, plant=None):
 
 
 def _pairs(df):
+    # match_batch returns the UNROUNDED estimate (so est >= threshold
+    # holds on the returned frame); the batch family rounds to 6dp for
+    # oracle hash stability — compare at the rounded precision
     return {
-        (r["batch_id"], r["store_id"]): r["est_jaccard"] for r in df.collect()
+        (r["batch_id"], r["store_id"]): round(r["est_jaccard"], 6)
+        for r in df.collect()
     }
 
 
@@ -285,7 +289,11 @@ def test_match_batch_thresholds_unrounded_estimate(spark, tmp_path):
     sel = _pairs(store.match_batch(batch, threshold=t_above))
     assert (bid, sid) not in sel  # unrounded max < threshold
     # control: thresholding AT the exact double keeps the pair
-    sel_at = _pairs(store.match_batch(batch, threshold=k / n_hashes))
+    at = store.match_batch(batch, threshold=k / n_hashes)
+    sel_at = _pairs(at)
     assert (bid, sid) in sel_at
+    # the RETURNED value is unrounded, so est >= threshold holds
+    # row-for-row on the output (re-filtering downstream is a no-op)
+    assert all(r["est_jaccard"] >= k / n_hashes for r in at.collect())
     for t in store.meta["tables"].values():
         spark.sql(f"DROP TABLE IF EXISTS {t}")

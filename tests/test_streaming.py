@@ -1,5 +1,6 @@
 """Incremental / Structured Streaming ingestion."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from raptor_rag_spark.datagen import synthetic_pages
@@ -685,6 +686,102 @@ def test_incremental_update_planned_defers_counts_and_flushes_exact(
     merged = leaves0.unionByName(b1).unionByName(b2).unionByName(b3)
     want = build_tree(spark, merged, base_all, DEFAULT_CONFIG, resume=False, **kw)
     cols = ["node_id", "layer", "cell_id", "text", "n_tokens"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_planner_seed_persists_before_append_no_double_count(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Crash-retry on the FIRST planned call must not double-count the
+    batch in the ledger's sizes: the seeded ledger persists BEFORE the
+    level-0 append commits, so a retry that re-presents the batch after
+    a crash between the append and the count-merge write merges the
+    counts exactly once (sizes total == pre-append leaves + batch)."""
+    from raptor_rag_spark import operators
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.maintenance import write_meta_atomic
+    from raptor_rag_spark.operators.tree import build_tree, read_level
+    from raptor_rag_spark.streaming.incremental import (
+        incremental_update_planned,
+        read_pending,
+    )
+
+    root = tmp_path_factory.mktemp("planned_crash")
+    base = str(root / "tree")
+    kw = dict(start_resolution=3, max_layers=4)
+    leaves0 = incremental_level0(synthetic_pages(spark, n=30, seed=71)).localCheckpoint(
+        eager=True
+    )
+    build_tree(spark, leaves0, base, DEFAULT_CONFIG, **kw)
+    n_lvl0 = read_level(spark, base, 0).count()
+
+    pages = synthetic_pages(spark, n=8, seed=7100).withColumn(
+        "page_id", F.col("page_id") + 40_000
+    ).withColumn("url", F.concat(F.lit("https://crash.test/p/"), F.col("page_id")))
+    b1 = incremental_level0(pages).localCheckpoint(eager=True)
+
+    # crash between the level-0 append and the ledger count-merge:
+    # the first write (the seed) succeeds, the second (count merge) dies
+    calls = {"n": 0}
+
+    def dying_write(path, obj):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before count-merge write")
+        return write_meta_atomic(path, obj)
+
+    monkeypatch.setattr(
+        operators.maintenance, "write_meta_atomic", dying_write
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_update_planned(
+            spark, base, b1, DEFAULT_CONFIG, min_pending_per_cell=10**6, **kw
+        )
+    monkeypatch.undo()
+    # the append committed, the seed persisted, the counts did not
+    assert read_level(spark, base, 0).count() == n_lvl0 + b1.count()
+    led = read_pending(base)
+    assert led["resolution"] is not None and not led["cells"]
+    assert sum(led["sizes"].values()) == n_lvl0  # pre-append seed
+
+    # retry: append dedups on the content id; counts merge exactly once
+    incremental_update_planned(
+        spark, base, b1, DEFAULT_CONFIG, min_pending_per_cell=10**6, **kw
+    )
+    led2 = read_pending(base)
+    assert read_level(spark, base, 0).count() == n_lvl0 + b1.count()
+    assert sum(led2["cells"].values()) == b1.count()
+    assert sum(led2["sizes"].values()) == n_lvl0 + b1.count()  # no inflation
+
+
+def test_planner_noop_flush_skips_seeding_scan(spark, tmp_path_factory):
+    """flush_appends()/planner with nothing to append on a tree that
+    never deferred: returns the collapsed table WITHOUT creating (or
+    scanning for) a ledger — a defensive flush before every export must
+    not pay an O(level-0) job each time."""
+    import os
+
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.streaming.incremental import (
+        _pending_path,
+        incremental_update_planned,
+    )
+
+    root = tmp_path_factory.mktemp("planned_noop")
+    base = str(root / "tree")
+    kw = dict(start_resolution=3, max_layers=4)
+    leaves0 = incremental_level0(synthetic_pages(spark, n=25, seed=81)).localCheckpoint(
+        eager=True
+    )
+    want = build_tree(spark, leaves0, base, DEFAULT_CONFIG, **kw)
+    got = incremental_update_planned(
+        spark, base, None, DEFAULT_CONFIG, force_flush=True, **kw
+    )
+    assert not os.path.exists(_pending_path(base))  # no ledger materialized
+    cols = ["node_id", "layer", "text"]
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
