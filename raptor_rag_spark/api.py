@@ -109,11 +109,8 @@ class RaptorEngine:
         scattered daily crawl batches (recompute fraction ~0.15 vs
         0.62 eager at a uniform 1%/day drip). Call flush_appends() to
         force exactness before an evaluation/export."""
-        import os
-
         from raptor_rag_spark.operators.tile import reduce_2d
         from raptor_rag_spark.streaming.incremental import (
-            _pending_path,
             incremental_update,
             incremental_update_planned,
         )
@@ -143,21 +140,11 @@ class RaptorEngine:
                 min_pending_per_cell=min_pending_per_cell,
                 min_pending_frac=min_pending_frac,
             ).cache()
-        elif os.path.exists(_pending_path(self.base)):
-            # a deferred-append ledger exists: a plain eager update
-            # would bypass it, leaving already-recomputed cells counted
-            # as pending (redundant future flushes) and the size
-            # counters blind to this batch (flush thresholds drift).
-            # Route through the planner with force_flush: same
-            # exactness guarantee as eager — stronger, in fact, the
-            # WHOLE tree equals a from-scratch build, not just this
-            # batch's cells — with the ledger settled and sizes kept.
-            self.nodes = incremental_update_planned(
-                self.spark, self.base, leaves, self.cfg,
-                start_resolution=self.start_resolution, embed_dim=self.dim,
-                force_flush=True,
-            ).cache()
         else:
+            # on a tree that has ever deferred, incremental_update
+            # itself settles the pending ledger (routes through the
+            # planner with force_flush) — the invariant lives in the
+            # streaming module, not at call sites
             self.nodes = incremental_update(
                 self.spark, self.base, leaves, self.cfg,
                 start_resolution=self.start_resolution, embed_dim=self.dim,

@@ -354,6 +354,12 @@ def incremental_update(
     pushed the top level back over min_level_nodes; returns the
     collapsed node table. Result equals a from-scratch build over the
     merged leaves (pytest-asserted).
+
+    On a tree that has ever taken a deferred append (a planner ledger
+    exists — :func:`has_pending_ledger`), the call routes through
+    :func:`incremental_update_planned` with ``force_flush`` so the
+    ledger is settled rather than bypassed; exactness is preserved
+    (stronger: the whole tree equals a from-scratch build).
     """
     from raptor_rag_spark.operators.tree import (
         build_tree,
@@ -365,6 +371,22 @@ def incremental_update(
     top = last_complete_level(checkpoint_base)
     if top < 0:
         raise ValueError(f"no complete levels under {checkpoint_base}; build first")
+
+    if has_pending_ledger(checkpoint_base):
+        # a deferred-append ledger exists for this tree: a plain eager
+        # update would bypass it, leaving already-recomputed cells
+        # counted as pending (redundant future flushes) and the size
+        # counters blind to this batch (flush thresholds drift). Route
+        # through the planner with force_flush — same exactness
+        # guarantee as eager (stronger: the WHOLE tree equals a
+        # from-scratch build, not just this batch's cells) with the
+        # ledger settled and sizes kept. Enforced here, not at call
+        # sites, so every caller keeps the invariant.
+        return incremental_update_planned(
+            spark, checkpoint_base, new_leaves, cfg,
+            start_resolution=start_resolution, max_layers=max_layers,
+            embed_dim=dim, force_flush=True,
+        )
 
     lvl0_delta, _aid = _stage_level0_append(new_leaves, checkpoint_base)
 
@@ -420,12 +442,32 @@ def _stage_level0_append(new_leaves: DataFrame, checkpoint_base: str):
 
 _PENDING_LEDGER = "pending_appends.json"
 _PENDING_APPLIED_KEEP = 256  # retry horizon for append-id dedup
+_PENDING_FLUSHES_KEEP = 64  # recent-history window; totals keep the rest
 
 
 def _pending_path(base: str) -> str:
     import os
 
     return os.path.join(base, _PENDING_LEDGER)
+
+
+def has_pending_ledger(base: str) -> bool:
+    """True once the append planner has ever written a ledger for this
+    tree. While true, eager updates must settle the ledger (they route
+    through the planner with force_flush) or pending counts drift."""
+    import os
+
+    return os.path.exists(_pending_path(base))
+
+
+def _read_collapsed(spark: SparkSession, base: str, top: int) -> DataFrame:
+    """The collapsed node table: union of every checkpointed level."""
+    from raptor_rag_spark.operators.tree import read_level
+
+    out = read_level(spark, base, 0)
+    for layer in range(1, top + 1):
+        out = out.unionByName(read_level(spark, base, layer))
+    return out
 
 
 def read_pending(base: str) -> dict:
@@ -534,10 +576,7 @@ def incremental_update_planned(
             # seeding scan (a defensive flush_appends() on an engine
             # that never deferred must not pay an O(level-0) job) and
             # return the collapsed table as-is
-            out = read_level(spark, checkpoint_base, 0)
-            for layer in range(1, top + 1):
-                out = out.unionByName(read_level(spark, checkpoint_base, layer))
-            return out
+            return _read_collapsed(spark, checkpoint_base, top)
         ledger["resolution"] = int(start_resolution)
         # one-time size seed: per-base-cell leaf counts of the existing
         # level 0 (bounded by the base-cell universe; incremented per
@@ -595,10 +634,7 @@ def incremental_update_planned(
     if not due:
         # no flush: collapsed table with up-to-date leaves and
         # bounded-stale parents
-        out = read_level(spark, checkpoint_base, 0)
-        for layer in range(1, top + 1):
-            out = out.unionByName(read_level(spark, checkpoint_base, layer))
-        return out
+        return _read_collapsed(spark, checkpoint_base, top)
 
     affected_l1 = spark.createDataFrame([(c,) for c in due], "_acell string")
     stats = _propagate_affected(
@@ -607,14 +643,30 @@ def incremental_update_planned(
     )
     for c in due:
         ledger["cells"].pop(c, None)
-    ledger["flushes"].append(
-        {
-            "cells": len(due),
-            "recomputed_parents": int(stats["recomputed_parents"]),
-            "replaced_parents": int(stats["replaced_parents"]),
-            "forced": bool(force_flush),
-        }
+    # the ledger lives for the tree's LIFETIME (every later eager
+    # append routes through force_flush), so the flush history must
+    # not grow per append: keep the last K records for inspection and
+    # fold the rest into running totals — same discipline as the
+    # 'applied' retry horizon
+    totals = ledger.setdefault(
+        "flush_totals",
+        {"flushes": 0, "cells": 0, "recomputed_parents": 0, "replaced_parents": 0},
     )
+    totals["flushes"] += 1
+    totals["cells"] += len(due)
+    totals["recomputed_parents"] += int(stats["recomputed_parents"])
+    totals["replaced_parents"] += int(stats["replaced_parents"])
+    ledger["flushes"] = (
+        ledger["flushes"]
+        + [
+            {
+                "cells": len(due),
+                "recomputed_parents": int(stats["recomputed_parents"]),
+                "replaced_parents": int(stats["replaced_parents"]),
+                "forced": bool(force_flush),
+            }
+        ]
+    )[-_PENDING_FLUSHES_KEEP:]
     write_meta_atomic(_pending_path(checkpoint_base), ledger)
     # extend the top if the flushed cells pushed it over min_level_nodes
     return build_tree(

@@ -785,3 +785,87 @@ def test_planner_noop_flush_skips_seeding_scan(spark, tmp_path_factory):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_flush_history_bounded_with_running_totals(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The ledger lives for the tree's lifetime (every later eager
+    append force-flushes through it), so the flush history must not
+    grow per append: the list is capped at _PENDING_FLUSHES_KEEP while
+    flush_totals keeps exact running counters."""
+    from raptor_rag_spark import streaming
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.streaming.incremental import (
+        incremental_update_planned,
+        read_pending,
+    )
+
+    monkeypatch.setattr(streaming.incremental, "_PENDING_FLUSHES_KEEP", 2)
+    root = tmp_path_factory.mktemp("flush_cap")
+    base = str(root / "tree")
+    kw = dict(start_resolution=3, max_layers=4)
+    leaves0 = incremental_level0(synthetic_pages(spark, n=25, seed=91)).localCheckpoint(
+        eager=True
+    )
+    build_tree(spark, leaves0, base, DEFAULT_CONFIG, **kw)
+
+    for day in range(3):  # min_pending_per_cell=1 => every batch flushes
+        pages = synthetic_pages(spark, n=4, seed=9100 + day).withColumn(
+            "page_id", F.col("page_id") + 50_000 + 1_000 * day
+        ).withColumn(
+            "url", F.concat(F.lit(f"https://cap.test/{day}/p/"), F.col("page_id"))
+        )
+        batch = incremental_level0(pages).localCheckpoint(eager=True)
+        incremental_update_planned(
+            spark, base, batch, DEFAULT_CONFIG, min_pending_per_cell=1,
+            min_pending_frac=0.0, **kw
+        )
+
+    led = read_pending(base)
+    assert len(led["flushes"]) == 2  # capped at the monkeypatched keep
+    assert led["flush_totals"]["flushes"] == 3  # totals remember all
+    assert led["flush_totals"]["cells"] >= 3
+    assert led["flush_totals"]["recomputed_parents"] > 0
+
+
+def test_direct_eager_update_settles_pending_ledger(spark, tmp_path_factory):
+    """Calling incremental_update DIRECTLY (not via the api facade) on
+    a tree with a pending ledger must settle the ledger, not bypass it
+    — the invariant lives in the streaming module, at every call site."""
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.tree import build_tree
+    from raptor_rag_spark.streaming.incremental import (
+        incremental_update,
+        incremental_update_planned,
+        read_pending,
+    )
+
+    root = tmp_path_factory.mktemp("direct_settle")
+    base = str(root / "tree")
+    kw = dict(start_resolution=3, max_layers=4)
+    leaves0 = incremental_level0(synthetic_pages(spark, n=25, seed=92)).localCheckpoint(
+        eager=True
+    )
+    build_tree(spark, leaves0, base, DEFAULT_CONFIG, **kw)
+
+    p1 = synthetic_pages(spark, n=5, seed=9200).withColumn(
+        "page_id", F.col("page_id") + 60_000
+    ).withColumn("url", F.concat(F.lit("https://direct.test/a/"), F.col("page_id")))
+    b1 = incremental_level0(p1).localCheckpoint(eager=True)
+    incremental_update_planned(
+        spark, base, b1, DEFAULT_CONFIG, min_pending_per_cell=10**6, **kw
+    )
+    assert read_pending(base)["cells"]  # b1 deferred
+
+    p2 = synthetic_pages(spark, n=4, seed=9300).withColumn(
+        "page_id", F.col("page_id") + 70_000
+    ).withColumn("url", F.concat(F.lit("https://direct.test/b/"), F.col("page_id")))
+    b2 = incremental_level0(p2).localCheckpoint(eager=True)
+    got = incremental_update(spark, base, b2, DEFAULT_CONFIG, **kw)
+
+    led = read_pending(base)
+    assert not led["cells"]  # settled, not bypassed
+    assert led["flushes"] and led["flushes"][-1]["forced"]
+    assert got.filter("layer = 0").count() == leaves0.count() + b1.count() + b2.count()
