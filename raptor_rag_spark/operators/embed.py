@@ -94,14 +94,16 @@ def http_embed_fn(
       fail the Spark task (which retries it on another attempt), never
       emit garbage vectors.
 
-    Stdlib-only (urllib) so the seam needs no extra dependency; runs
-    inside the Python worker, one chunk of HTTP per ``optimal_batch``
-    rows of each Arrow batch. Returns float32 (n, dim)."""
-    import json
-    import time
-    import urllib.error
-    import urllib.request
+    Transport (retry/4xx/backoff discipline) is the shared
+    :func:`raptor_rag_spark.functions.httpclient.post_json_with_retries`
+    — one implementation for both model seams. Stdlib-only (urllib) so
+    the seam needs no extra dependency; runs inside the Python worker,
+    one chunk of HTTP per ``optimal_batch`` rows of each Arrow batch.
+    Returns float32 (n, dim)."""
+    from raptor_rag_spark.functions.httpclient import post_json_with_retries
 
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     url = base_url.rstrip("/") + "/embeddings/batch"
 
     def fn(texts: pd.Series) -> np.ndarray:
@@ -109,39 +111,11 @@ def http_embed_fn(
         rows: list[list[float]] = []
         for i in range(0, len(vals), optimal_batch):
             chunk = vals[i : i + optimal_batch]
-            body = json.dumps(chunk).encode()
-            for attempt in range(max_retries):
-                try:
-                    req = urllib.request.Request(
-                        url,
-                        data=body,
-                        headers={"Content-Type": "application/json"},
-                        method="POST",
-                    )
-                    with urllib.request.urlopen(req, timeout=timeout) as resp:
-                        data = json.loads(resp.read())
-                    rows.extend(d["embedding"] for d in data["data"])
-                    break
-                except urllib.error.HTTPError as exc:
-                    if 400 <= exc.code < 500:
-                        detail = exc.read()[:200]
-                        raise RuntimeError(
-                            f"embedding service rejected the batch "
-                            f"({exc.code}): {detail!r}"
-                        ) from exc
-                    if attempt == max_retries - 1:
-                        raise RuntimeError(
-                            f"embedding service failed after {max_retries} "
-                            f"attempts: HTTP {exc.code}"
-                        ) from exc
-                    time.sleep(min(0.05 * 2**attempt, 2.0))
-                except (urllib.error.URLError, OSError) as exc:
-                    if attempt == max_retries - 1:
-                        raise RuntimeError(
-                            f"embedding service failed after {max_retries} "
-                            f"attempts: {exc}"
-                        ) from exc
-                    time.sleep(min(0.05 * 2**attempt, 2.0))
+            data = post_json_with_retries(
+                url, chunk, "embedding",
+                max_retries=max_retries, timeout=timeout,
+            )
+            rows.extend(d["embedding"] for d in data["data"])
         # np.asarray([]) is shape (0,), not (0, dim) — an empty Arrow
         # batch must pass the shape check like any other
         mat = (

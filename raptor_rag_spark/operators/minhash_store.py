@@ -71,11 +71,16 @@ def band_keys(sig_df: DataFrame, n_hashes: int, bands: int, id_col: str = "id") 
 def _validate_store_path(path: str) -> str:
     """The store path is interpolated into CREATE TABLE ... LOCATION
     '<path>' DDL at every register; a quote/backtick/newline would make
-    each fresh-session load fail (or mis-target another location).
-    Reject those at build/load time instead of at first read."""
-    if any(c in path for c in ("'", "`", "\n", "\r")):
+    each fresh-session load fail (or mis-target another location), and
+    a BACKSLASH is an escape sequence to Spark's SQL parser (default
+    escapedStringLiterals=false: '\\n' in the literal becomes a real
+    newline), silently registering the table at a different location
+    than the parquet files. Reject all of them at build/load time
+    instead of at first read."""
+    if any(c in path for c in ("'", "`", "\\", "\n", "\r")):
         raise ValueError(
-            f"store path must not contain quotes/backticks/newlines: {path!r}"
+            "store path must not contain quotes/backticks/backslashes/"
+            f"newlines: {path!r}"
         )
     return path
 

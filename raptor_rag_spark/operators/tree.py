@@ -105,66 +105,44 @@ def http_summarize_fn(
       the Spark task fails and re-schedules — a summarizer outage must
       never silently poison parent nodes.
 
-    Stdlib-only (urllib); runs inside the applyInPandas worker, one
-    HTTP call per cell. Returns the plug-in ``(texts, max_tokens) ->
-    str`` callable ``build_level`` expects."""
-    import json as _json
-    import time as _time
-    import urllib.error
-    import urllib.request
+    Transport (retry/4xx/backoff discipline) is the shared
+    :func:`raptor_rag_spark.functions.httpclient.post_json_with_retries`
+    — one implementation for both model seams. Stdlib-only (urllib);
+    runs inside the applyInPandas worker, one HTTP call per cell.
+    Returns the plug-in ``(texts, max_tokens) -> str`` callable
+    ``build_level`` expects."""
+    from raptor_rag_spark.functions.httpclient import post_json_with_retries
 
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     url = base_url.rstrip("/") + "/v1/chat/completions"
 
     def fn(texts: list[str], max_tokens: int) -> str:
         context = "".join(" ".join(("" if t is None else str(t)).splitlines()) for t in texts)
-        body = _json.dumps(
-            {
-                "model": model,
-                "messages": [
-                    {"role": "system", "content": "You are a helpful assistant."},
-                    {
-                        "role": "user",
-                        "content": (
-                            "Write a summary of the following, including "
-                            f"as many key details as possible: {context}:"
-                        ),
-                    },
-                ],
-                "max_tokens": max_tokens,
-            }
-        ).encode()
-        for attempt in range(max_retries):
-            try:
-                req = urllib.request.Request(
-                    url,
-                    data=body,
-                    headers={"Content-Type": "application/json"},
-                    method="POST",
-                )
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    data = _json.loads(resp.read())
-                out = data["choices"][0]["message"]["content"]
-                if not isinstance(out, str):
-                    raise ValueError(f"summarization service returned non-text: {type(out).__name__}")
-                return out
-            except urllib.error.HTTPError as exc:
-                if 400 <= exc.code < 500:
-                    detail = exc.read()[:200]
-                    raise RuntimeError(
-                        f"summarization service rejected the request ({exc.code}): {detail!r}"
-                    ) from exc
-                if attempt == max_retries - 1:
-                    raise RuntimeError(
-                        f"summarization service failed after {max_retries} attempts: HTTP {exc.code}"
-                    ) from exc
-                _time.sleep(min(0.05 * 2**attempt, 2.0))
-            except (urllib.error.URLError, OSError) as exc:
-                if attempt == max_retries - 1:
-                    raise RuntimeError(
-                        f"summarization service failed after {max_retries} attempts: {exc}"
-                    ) from exc
-                _time.sleep(min(0.05 * 2**attempt, 2.0))
-        raise AssertionError("unreachable")
+        payload = {
+            "model": model,
+            "messages": [
+                {"role": "system", "content": "You are a helpful assistant."},
+                {
+                    "role": "user",
+                    "content": (
+                        "Write a summary of the following, including "
+                        f"as many key details as possible: {context}:"
+                    ),
+                },
+            ],
+            "max_tokens": max_tokens,
+        }
+        data = post_json_with_retries(
+            url, payload, "summarization",
+            max_retries=max_retries, timeout=timeout,
+        )
+        out = data["choices"][0]["message"]["content"]
+        if not isinstance(out, str):
+            raise ValueError(
+                f"summarization service returned non-text: {type(out).__name__}"
+            )
+        return out
 
     return fn
 

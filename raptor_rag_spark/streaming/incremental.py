@@ -390,8 +390,9 @@ def incremental_update(
 
     lvl0_delta, _aid = _stage_level0_append(new_leaves, checkpoint_base)
 
-    # changed rows at the current child level: (node_id, x, y)
-    delta = lvl0_delta.select("node_id", "x", "y").localCheckpoint(eager=True)
+    # changed rows at the current child level: (node_id, x, y) —
+    # lvl0_delta is already checkpointed by the staging
+    delta = lvl0_delta.select("node_id", "x", "y")
     _propagate_affected(
         spark, checkpoint_base, cfg, start_resolution, top, dim, delta=delta
     )
@@ -416,7 +417,17 @@ def _stage_level0_append(new_leaves: DataFrame, checkpoint_base: str):
     downstream) re-presents the same delta and must not duplicate
     level-0 rows — append_level dedups on this id. The id covers
     text/tokens/embedding too, so a repair batch with the SAME node_ids
-    but different content is a new append, not a silent no-op."""
+    but different content is a new append, not a silent no-op.
+
+    The delta is checkpointed eagerly BEFORE anything reads it: the
+    append id, the parquet write, the affected-cell delta, and the
+    planner's ledger counts are all consumers, and re-executing the
+    caller's plan per consumer would (a) run the expensive
+    chunk→embed→reduce pipeline up to 3×, and (b) with a
+    NONDETERMINISTIC embed_fn (a live service) let each consumer see
+    DIFFERENT x,y — ledger counts attributed to cells other than the
+    ones the written rows actually land in, breaking force_flush
+    exactness. One materialization, every consumer reads it."""
     from pyspark.sql import functions as F
 
     from raptor_rag_spark.functions.staging import content_append_id
@@ -429,6 +440,7 @@ def _stage_level0_append(new_leaves: DataFrame, checkpoint_base: str):
             "node_id", "layer", "cell_id", "text", "children", "n_tokens",
             "embedding", "x", "y",
         )
+        .localCheckpoint(eager=True)
     )
     append_id = content_append_id(
         lvl0_delta, ["node_id", "text", "n_tokens", "embedding"]

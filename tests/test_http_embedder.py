@@ -141,7 +141,7 @@ def test_http_embedder_validation_rejection_fails_loudly(spark, mock_service):
         [(0, "fine"), (1, "   ")], "doc_id long, text string"
     ).repartition(1)
     fn = http_embed_fn(mock_service, dim=DIM)
-    with pytest.raises(Exception, match="rejected the batch"):
+    with pytest.raises(Exception, match="embedding service rejected"):
         embed_texts(df, dim=DIM, embed_fn=fn).collect()
     # the rejected request was not retried (no extra POSTs recorded)
     assert _MockVllm.state["batches"] == []
@@ -167,3 +167,10 @@ def test_http_embedder_empty_batch_is_total(mock_service):
     assert out.dtype == np.float32
     # and no HTTP request was made for zero rows
     assert _MockVllm.state["batches"] == []
+
+
+def test_http_embedder_rejects_zero_retries():
+    """range(0) would skip the request and report a fake shape error
+    that misdirects debugging at the service — config error instead."""
+    with pytest.raises(ValueError, match="max_retries"):
+        http_embed_fn("http://localhost:1", dim=DIM, max_retries=0)

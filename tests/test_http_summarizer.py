@@ -200,3 +200,12 @@ def test_cfg_summarizer_threads_through_incremental_recompute(
     re_parents = got.filter("layer > 0").select("text").collect()
     assert re_parents and all(r["text"] == r["text"].upper() for r in re_parents)
     assert len(_MockChat.state["requests"]) > calls_before  # recompute hit the service
+
+
+def test_http_summarizer_rejects_zero_retries():
+    """range(0) would fall through to an AssertionError('unreachable')
+    per summarized cell — config error instead."""
+    from raptor_rag_spark.operators.tree import http_summarize_fn
+
+    with pytest.raises(ValueError, match="max_retries"):
+        http_summarize_fn("http://localhost:1", max_retries=0)

@@ -251,6 +251,13 @@ def test_store_path_with_quote_rejected(spark, tmp_path):
         MinHashSignatureStore.build(spark, docs, bad, n_buckets=2)
     with pytest.raises(ValueError, match="quotes"):
         MinHashSignatureStore.load(spark, bad)
+    # backslash: a LEGAL dirname, but Spark's SQL parser reads it as an
+    # escape sequence inside the LOCATION literal (default
+    # escapedStringLiterals=false turns '\n' into a real newline),
+    # silently registering the table at a different location
+    slashed = str(tmp_path / "a\\nb" / "mh")
+    with pytest.raises(ValueError, match="backslash"):
+        MinHashSignatureStore.build(spark, docs, slashed, n_buckets=2)
 
 
 def test_match_batch_thresholds_unrounded_estimate(spark, tmp_path):
