@@ -78,6 +78,47 @@ def _centroid_hash(cent) -> str:
     ).hexdigest()
 
 
+def _write_centroid_sidecar(centroids, dir_path: str) -> None:
+    """Write the (nlist, dim) centroid matrix as a one-file parquet dir
+    straight from the driver with pyarrow. The sidecar is tiny (nlist
+    rows) and driver-resident by construction, so a Spark job here is
+    pure overhead — a local-list createDataFrame scan costs seconds per
+    action (Python-RDD round trip; measured 6.4 s for 64 rows in the
+    save slot) while the pyarrow write is sub-millisecond. Schema
+    matches the previous Spark write (list_id int, centroid
+    array<double>), so old stores and new stores read identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = np.asarray(centroids, dtype=np.float64)
+    tbl = pa.table(
+        {
+            "list_id": pa.array(np.arange(len(m), dtype=np.int32)),
+            "centroid": pa.array(
+                [[float(v) for v in row] for row in m], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    import shutil
+
+    shutil.rmtree(dir_path, ignore_errors=True)  # mode('overwrite') analog
+    os.makedirs(dir_path)
+    pq.write_table(tbl, os.path.join(dir_path, "part-00000.parquet"))
+
+
+def _read_centroid_sidecar(dir_path: str):
+    """Driver-side read of the centroid sidecar (any parquet layout —
+    pyarrow reads the dir's part files), sorted by list_id. No Spark
+    job: the sidecar is bounded by nlist."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(dir_path, ignore_prefixes=["_", "."])
+    pdf = tbl.to_pandas().sort_values("list_id")
+    return np.asarray(list(pdf["centroid"]), dtype=np.float64)
+
+
 def train_centroids(
     nodes: DataFrame,
     nlist: int,
@@ -462,14 +503,7 @@ class IvfIndex:
             if _centroid_hash(mine) != meta["centroid_hash"]:
                 raise ValueError(_FOREIGN_QUANTIZER_MSG.format(path=path))
         else:  # pre-hash save layout: compare the sidecar itself
-            stored_cent = np.asarray(
-                list(
-                    spark.read.parquet(cent_path)
-                    .orderBy("list_id")
-                    .toPandas()["centroid"]
-                ),
-                dtype=np.float64,
-            )
+            stored_cent = _read_centroid_sidecar(cent_path)
             if stored_cent.shape != mine.shape or not np.array_equal(
                 stored_cent, mine
             ):
@@ -610,12 +644,7 @@ class IvfIndex:
             .parquet(store_path + _SWAP_NEW)
         )
         write_save_token(store_path + _SWAP_NEW, token)
-        cent_rows = [
-            (int(i), [float(v) for v in row]) for i, row in enumerate(self.centroids)
-        ]
-        spark.createDataFrame(
-            cent_rows, "list_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(cent_path + _SWAP_NEW)
+        _write_centroid_sidecar(self.centroids, cent_path + _SWAP_NEW)
         write_save_token(cent_path + _SWAP_NEW, token)
         # every table fully written: swap all (keeping rollback
         # material), commit meta last, then clean up
@@ -676,10 +705,8 @@ class IvfIndex:
         idx.store = store
         idx.nodes = store.select("node_id", *idx._val_cols)
         idx.lists = store.select("node_id", "list_id")
-        cent = (
-            spark.read.parquet(os.path.join(path, "centroids.parquet"))
-            .orderBy("list_id")
-            .toPandas()
+        # driver-side sidecar read (bounded by nlist) — no Spark job
+        idx.centroids = _read_centroid_sidecar(
+            os.path.join(path, "centroids.parquet")
         )
-        idx.centroids = np.asarray(list(cent["centroid"]), dtype=np.float64)
         return idx

@@ -359,6 +359,46 @@ def write_level(
     )
 
 
+def storage_partition_counts(path: str, by_cell_pfx: bool) -> dict[str, int]:
+    """Per-partition row counts straight from the parquet FOOTERS of a
+    just-written level — a driver-side metadata walk, no Spark job.
+    The previous formulation re-read the whole level through a Spark
+    count (full scan + scheduling); the footer walk reads O(files)
+    metadata pages, which is strictly cheaper at every scale (the scan
+    had to list the same files before reading any data). Keys: the
+    ``cell_pfx=`` dir value for prefix-partitioned levels (what
+    update_manifest_delta needs), else the write-task index parsed
+    from the part file name. Zero-row files are skipped, matching the
+    old groupBy (which emitted no row for an empty partition)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    if by_cell_pfx:
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("cell_pfx="):
+                continue
+            n = 0
+            d = os.path.join(path, entry)
+            for fn in sorted(os.listdir(d)):
+                if fn.startswith("part-") and not fn.endswith(".crc"):
+                    n += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+            if n:
+                counts[entry.split("=", 1)[1]] = n
+    else:
+        for fn in sorted(os.listdir(path)):
+            if not fn.startswith("part-") or fn.endswith(".crc"):
+                continue
+            n = pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
+            if n:
+                # part-00042-<uuid>... -> write task 42
+                try:
+                    key = str(int(fn.split("-")[1]))
+                except (IndexError, ValueError):
+                    key = fn
+                counts[key] = counts.get(key, 0) + n
+    return counts
+
+
 def refresh_manifest(
     spark: SparkSession,
     base: str,
@@ -367,25 +407,20 @@ def refresh_manifest(
     partition_prefix_len: int | None = None,
     t0: float | None = None,
 ) -> dict:
-    """(Re)write a level's manifest from what is on storage (one
-    count-only parquet scan). Prefix-partitioned levels key the
-    per-partition counts by cell_pfx (the physical partition), so
-    incremental maintenance can later update them ARITHMETICALLY from
-    the write delta (update_manifest_delta) without rescanning."""
+    """(Re)write a level's manifest from what is on storage (footer
+    metadata walk — see storage_partition_counts; no data re-scan).
+    Prefix-partitioned levels key the per-partition counts by cell_pfx
+    (the physical partition), so incremental maintenance can later
+    update them ARITHMETICALLY from the write delta
+    (update_manifest_delta) without rescanning."""
     t0 = time.time() if t0 is None else t0
-    df = spark.read.parquet(_level_path(base, layer))
-    key = (
-        F.col("cell_pfx")
-        if partition_prefix_len and "cell_pfx" in df.columns
-        else F.spark_partition_id()
-    )
-    per_part = (
-        df.withColumn("_p", key).groupBy("_p").agg(F.count("*").alias("rows")).collect()
+    per_part = storage_partition_counts(
+        _level_path(base, layer), bool(partition_prefix_len)
     )
     manifest = {
         "layer": layer,
-        "rows": int(sum(r["rows"] for r in per_part)),
-        "partitions": {str(r["_p"]): int(r["rows"]) for r in per_part},
+        "rows": int(sum(per_part.values())),
+        "partitions": {k: int(v) for k, v in per_part.items()},
         "partitions_by": "cell_pfx" if partition_prefix_len else "partition_id",
         "partition_prefix_len": partition_prefix_len,
         "lineage": lineage,

@@ -200,7 +200,7 @@ def _propagate_affected(
     top: int,
     dim: int,
     delta: DataFrame | None = None,
-    affected_l1: DataFrame | None = None,
+    affected_l1: list[str] | None = None,
 ) -> dict:
     """Shared affected-cells propagation for levels 1..top (the loop
     both incremental_update and the append planner run): per level,
@@ -210,7 +210,18 @@ def _propagate_affected(
     (today's changed level-0 rows) unless ``affected_l1`` overrides it
     — the planner flushes DUE cells covering several days' pending
     leaves, not just today's batch. Returns aggregate stats
-    {recomputed_parents, replaced_parents, affected_cells_l1}."""
+    {recomputed_parents, replaced_parents, affected_cells_l1}.
+
+    Driver-round-trip budget (round 6): the affected-cell set is a
+    DRIVER LIST (it always was — the manifest delta collected it), so
+    membership tests compile to map-side ``isin`` filters instead of
+    broadcast-join builds; the recomputed level is written ONCE with
+    dynamic partition overwrite and read BACK (partition-pruned to the
+    affected dirs) where its rows are needed again, instead of an
+    eager localCheckpoint followed by a write; and per-partition counts
+    come from the written files' parquet footers (no counting job).
+    4 Spark jobs per level instead of ~8, identical rows (the
+    append==rebuild pytest covers this path)."""
     from pyspark.sql import functions as F
 
     from raptor_rag_spark.operators.tile import tile
@@ -220,6 +231,7 @@ def _propagate_affected(
         read_level,
         read_manifest,
         refresh_manifest,
+        storage_partition_counts,
         update_manifest_delta,
         write_level,
     )
@@ -228,54 +240,50 @@ def _propagate_affected(
     for layer in range(1, top + 1):
         res = max(start_resolution - (layer - 1), 0)
         if layer == 1 and affected_l1 is not None:
-            affected = affected_l1.localCheckpoint(eager=True)
+            affected = sorted(affected_l1)
         else:
-            affected = (
-                tile(delta, res).select("cell_id").distinct()
-                .withColumnRenamed("cell_id", "_acell")
-                .localCheckpoint(eager=True)
+            # bounded by the cell universe at this resolution — the same
+            # list the manifest delta has always collected
+            affected = sorted(
+                r["cell_id"]
+                for r in tile(delta, res).select("cell_id").distinct().collect()
             )
-        n_affected = affected.count()
         if layer == 1:
-            stats["affected_cells_l1"] = int(n_affected)
+            stats["affected_cells_l1"] = len(affected)
         child = read_level(spark, checkpoint_base, layer - 1)
         child_in = (
             tile(child, res)
-            .drop("ix", "iy")
-            .withColumnRenamed("cell_id", "_acell")
-            .drop("resolution")
-            .join(F.broadcast(affected), "_acell", "left_semi")
-            .drop("_acell")
+            .drop("ix", "iy", "resolution")
+            .filter(F.col("cell_id").isin(affected))
         )
         recomputed = build_level(child_in, layer, res, cfg)
         recomputed = embed_texts(recomputed, dim=dim)
         recomputed = reduce_2d(recomputed, dim=dim, seed=cfg.seed).select(
             "node_id", "layer", "cell_id", "text", "children", "n_tokens",
             "embedding", "x", "y",
-        ).localCheckpoint(eager=True)
+        )
         old = read_level(spark, checkpoint_base, layer)
         prefix = F.substring("cell_id", 1, res + 1)
-        replaced = old.join(
-            F.broadcast(affected), prefix == F.col("_acell"), "left_semi"
-        ).select("node_id", "x", "y").localCheckpoint(eager=True)
+        # pinned BEFORE the overwrite below: this plan reads the very
+        # files being replaced
+        replaced = (
+            old.filter(prefix.isin(affected))
+            .select("node_id", "x", "y")
+            .localCheckpoint(eager=True)
+        )
         old_manifest = read_manifest(checkpoint_base, layer)
         pfx_len = old_manifest.get("partition_prefix_len")
-        n_recomputed, n_replaced = int(recomputed.count()), int(replaced.count())
-        stats["recomputed_parents"] += n_recomputed
-        stats["replaced_parents"] += n_replaced
+        n_replaced = int(replaced.count())
         lineage = {
             "input": "incremental",
             "resolution": res,
-            "affected_cells": int(n_affected),
-            "recomputed_parents": n_recomputed,
-            "replaced_parents": n_replaced,
+            "affected_cells": len(affected),
         }
         if pfx_len == res + 1:
             # prefix-partitioned level: affected start-res cells ARE
             # partitions — dynamic partition overwrite rewrites ONLY
             # those directories; kept rows are never read or written
-            # (the 100 TB maintenance path). `replaced` is pinned above
-            # because it reads the same files being overwritten.
+            # (the 100 TB maintenance path).
             lineage["write"] = "dynamic-partition-overwrite"
             prev = spark.conf.get(
                 "spark.sql.sources.partitionOverwriteMode", "static"
@@ -292,33 +300,49 @@ def _propagate_affected(
                 )
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # O(affected) footer walk of the just-written dirs — the
+            # recomputed counts without a counting job
+            all_counts = storage_partition_counts(
+                _level_path(checkpoint_base, layer), True
+            )
+            rec_counts = {c: all_counts.get(c, 0) for c in affected}
+            n_recomputed = int(sum(rec_counts.values()))
+            lineage["recomputed_parents"] = n_recomputed
+            lineage["replaced_parents"] = n_replaced
             if old_manifest.get("partitions_by") == "cell_pfx":
                 # O(affected) manifest update — no level rescan
-                rec_counts = {
-                    r["_pfx"]: r["n"]
-                    for r in recomputed.groupBy(
-                        F.substring("cell_id", 1, res + 1).alias("_pfx")
-                    )
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                }
-                affected_pfx = [r["_acell"] for r in affected.collect()]
                 update_manifest_delta(
-                    checkpoint_base, layer, affected_pfx, rec_counts, lineage
+                    checkpoint_base, layer, affected,
+                    {k: v for k, v in rec_counts.items() if v}, lineage,
                 )
-            else:  # legacy manifest (partition-id keyed): rescan once
+            else:  # legacy manifest (partition-id keyed): refresh once
                 refresh_manifest(spark, checkpoint_base, layer, lineage, pfx_len)
-        else:
-            kept = old.join(
-                F.broadcast(affected), prefix == F.col("_acell"), "left_anti"
+            # the written partitions ARE the recomputed rows: read them
+            # back partition-pruned for the next level's delta instead
+            # of holding a checkpoint
+            recomputed_rb = (
+                spark.read.parquet(_level_path(checkpoint_base, layer))
+                .filter(F.col("cell_pfx").isin(affected))
+                .select("node_id", "x", "y")
             )
+        else:
+            recomputed = recomputed.localCheckpoint(eager=True)
+            n_recomputed = int(recomputed.count())
+            lineage["recomputed_parents"] = n_recomputed
+            lineage["replaced_parents"] = n_replaced
+            # coalesce: a NULL prefix must stay kept (the old anti-join
+            # semantics — NULL never matched)
+            kept = old.filter(F.coalesce(~prefix.isin(affected), F.lit(True)))
             merged = kept.unionByName(recomputed).localCheckpoint(eager=True)
             write_level(
                 merged, checkpoint_base, layer, lineage,
                 partition_prefix_len=pfx_len,
             )
+            recomputed_rb = recomputed.select("node_id", "x", "y")
+        stats["recomputed_parents"] += n_recomputed
+        stats["replaced_parents"] += n_replaced
         # both the new and the vanished/updated parents perturb level+1
-        delta = recomputed.select("node_id", "x", "y").unionByName(replaced)
+        delta = recomputed_rb.unionByName(replaced)
     return stats
 
 
@@ -648,10 +672,9 @@ def incremental_update_planned(
         # bounded-stale parents
         return _read_collapsed(spark, checkpoint_base, top)
 
-    affected_l1 = spark.createDataFrame([(c,) for c in due], "_acell string")
     stats = _propagate_affected(
         spark, checkpoint_base, cfg, start_resolution, top, dim,
-        affected_l1=affected_l1,
+        affected_l1=list(due),
     )
     for c in due:
         ledger["cells"].pop(c, None)
