@@ -17,6 +17,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def content_append_stats(df: DataFrame, cols: Sequence[str]) -> tuple[str, int]:
+    """(content id, row count) from ONE tiny aggregation — the id
+    derivation counts the rows anyway, so callers that also need the
+    count (ledger/manifest updates) take it from here instead of a
+    second count() job."""
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(1 << 31))
+        ).alias("h"),
+    ).first()
+    return f"n{agg['n']}h{agg['h'] or 0}", int(agg["n"])
+
+
 def content_append_id(df: DataFrame, cols: Sequence[str]) -> str:
     """Content-derived idempotency id: row count + order-independent
     sum of xxhash64 over ``cols``. Include the VALUE columns (text,
@@ -24,13 +38,7 @@ def content_append_id(df: DataFrame, cols: Sequence[str]) -> str:
     with DIFFERENT content (e.g. a re-embedded repair batch) must read
     as a NEW append, not silently no-op against the applied-ids ledger.
     One tiny aggregation; runs before the append's own execution."""
-    agg = df.agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(1 << 31))
-        ).alias("h"),
-    ).first()
-    return f"n{agg['n']}h{agg['h'] or 0}"
+    return content_append_stats(df, cols)[0]
 
 
 def scrub_partitioned_leftovers(

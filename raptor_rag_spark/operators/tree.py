@@ -31,7 +31,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 from raptor_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from raptor_rag_spark.operators.chunk import split_text
 from raptor_rag_spark.operators.embed import embed_texts
-from raptor_rag_spark.operators.tile import cell_id_col, quadkey, reduce_2d, tile
+from raptor_rag_spark.operators.tile import (
+    cell_id_col,
+    cell_key_col,
+    quadkey,
+    reduce_2d,
+    tile,
+)
 from raptor_rag_spark.tokenizer import DEFAULT_TOKENIZER
 
 NODES_SCHEMA = (
@@ -197,8 +203,7 @@ def _assign_cells_with_cap(
     here)."""
     # the input may carry (resolution, cell_id) from the level below —
     # the loop formulation overwrote them via tile()'s withColumn; the
-    # join formulation must drop them first or the join output is
-    # ambiguous
+    # cap logic must drop them first
     nodes = nodes.drop("resolution", "cell_id")
     if cfg.max_resolution <= start_res:
         # no finer resolution to split into (incl. start_res PAST the
@@ -206,15 +211,108 @@ def _assign_cells_with_cap(
         # empty ladder would otherwise build an array<void> that dies
         # with a cryptic INVALID_EXTRACT_BASE_FIELD_TYPE)
         return tile(nodes, start_res).drop("ix", "iy")
+    resolutions = list(range(start_res, cfg.max_resolution + 1))
+    # broadcast-vs-join switch: the splittable set is bounded by the
+    # populated-cell universe of the ladder's sub-max levels; under the
+    # bound it lives on the driver (same discipline as
+    # tile.MAX_BROADCAST_RESOLUTION), past it the join twin runs
+    universe = sum(4 ** (r + 1) for r in resolutions[:-1])
+    if universe > _MAX_SPLITTABLE_BROADCAST:
+        return _assign_cells_with_cap_join(nodes, resolutions, cfg)
+    # ONE skinny aggregation (map-side combine) of the exploded ladder
+    # -> the splittable (res, cell) set, collected (bounded above).
+    # Morton long keys, no per-row strings in the shuffle.
+    keys_arr = F.array(
+        *[cell_key_col(F.col("x"), F.col("y"), r) for r in resolutions[:-1]]
+    )
+    splittable = {
+        int(r["_k"])
+        for r in nodes.select(F.col("n_tokens"), F.explode(keys_arr).alias("_k"))
+        .groupBy("_k")
+        .agg(F.sum("n_tokens").alias("_sum"), F.count("*").alias("_n"))
+        .filter(
+            (F.col("_sum") > cfg.max_tokens_in_cluster) & (F.col("_n") > 1)
+        )
+        .select("_k")
+        .collect()
+    }
+    if not splittable:
+        # nothing over the cap: every node stays at start_res — pure
+        # JVM tiling, zero Python and zero further shuffles (the common
+        # case for upper tree levels, whose token mass shrinks fast)
+        return tile(nodes, start_res).drop("ix", "iy")
+    # map-side pick of each node's first non-splittable ancestor — no
+    # join back, no per-node shuffle; the wide row never leaves the JVM
+    # (the kernel sees only x, y)
+    spark = nodes.sparkSession
+    b_split = spark.sparkContext.broadcast(splittable)
+    base_r, max_r = resolutions[0], resolutions[-1]
+
+    import numpy as np
+
+    @F.pandas_udf("integer")
+    def pick_res(it: "Iterator[tuple[pd.Series, pd.Series]]") -> "Iterator[pd.Series]":
+        sp = b_split.value
+        for xs, ys in it:
+            x = xs.to_numpy(dtype=np.float64)
+            y = ys.to_numpy(dtype=np.float64)
+            n_pts = len(x)
+            res_out = np.full(n_pts, max_r, dtype=np.int32)
+            undecided = np.ones(n_pts, dtype=bool)
+            for r in range(base_r, max_r):
+                n = 1 << (r + 1)
+                ix = np.clip(((x + 1.0) / 2.0 * n).astype(np.int64), 0, n - 1)
+                iy = np.clip(((y + 1.0) / 2.0 * n).astype(np.int64), 0, n - 1)
+                m = np.zeros(n_pts, dtype=np.int64)
+                for i in range(r + 1):
+                    m += ((ix >> i) & 1) << (2 * i)
+                    m += ((iy >> i) & 1) << (2 * i + 1)
+                key = (r << 32) + m
+                sel = undecided & np.fromiter(
+                    (int(k) not in sp for k in key), dtype=bool, count=n_pts
+                )
+                res_out[sel] = r
+                undecided &= ~sel
+                if not undecided.any():
+                    break
+            yield pd.Series(res_out)
+
+    out = nodes.withColumn("resolution", pick_res(F.col("x"), F.col("y")))
+    cell = F.coalesce(
+        *[
+            F.when(
+                F.col("resolution") == r,
+                cell_id_col(F.col("x"), F.col("y"), r),
+            )
+            for r in resolutions
+        ]
+    )
+    return out.withColumn("cell_id", cell)
+
+
+# splittable-set driver bound for _assign_cells_with_cap: past this
+# ladder universe the set may not fit the driver — use the join twin
+_MAX_SPLITTABLE_BROADCAST = 1 << 20
+
+
+def _assign_cells_with_cap_join(
+    nodes: DataFrame, resolutions: list[int], cfg: EngineConfig
+) -> DataFrame:
+    """Join-based twin of the cap-split pick for ladders whose cell
+    universe exceeds the driver bound — the original round-4 one-pass
+    formulation (no driver-resident state): exploded ladder stats,
+    anti-join of splittable cells, per-node min-resolution pick, one
+    wide join back. Identical output (the broadcast path's equivalence
+    argument is the same first-non-splittable-ancestor rule)."""
     # cut upstream lineage once: `nodes` feeds BOTH the ladder stats
     # and the final join's left side — without this the upstream plan
     # (e.g. an un-pinned embed pipeline) evaluates twice per action
     nodes = nodes.localCheckpoint(eager=False)
-    resolutions = list(range(start_res, cfg.max_resolution + 1))
     ladder = F.array(
         *[
             F.struct(
-                F.lit(r).alias("resolution"), cell_id_col(F.col("x"), F.col("y"), r).alias("cell_id")
+                F.lit(r).alias("resolution"),
+                cell_id_col(F.col("x"), F.col("y"), r).alias("cell_id"),
             )
             for r in resolutions
         ]
@@ -248,11 +346,22 @@ def build_level(
     resolution: int,
     cfg: EngineConfig = DEFAULT_CONFIG,
     summarize_fn: Callable[[list[str], int], str] | None = None,
+    with_embedding: bool = False,
+    embed_dim: int | None = None,
 ) -> DataFrame:
     """One layer step: tile current nodes -> per-cell summarize ->
     parent nodes (node_id, layer, cell_id, text, children, n_tokens).
 
     Input needs: node_id, text, n_tokens, x, y.
+
+    ``with_embedding=True`` additionally computes the parent's
+    embedding (default hash embedder at ``embed_dim``) and its 2-D
+    reduction (cfg.seed) INSIDE the same grouped kernel — one Python
+    stage instead of three chained Arrow nodes (summarize ->
+    embed_texts -> reduce_2d), with bit-identical outputs (the hash
+    embedder is batch-order-independent by construction and the
+    projection is the same float64 matmul reduce_2d runs). The tree
+    build paths use this; the bare parent surface stays the default.
     """
     # tokenizer seam: parent n_tokens (and the extractive fallback's
     # token budget) must count in the SAME dialect the leaves were
@@ -270,12 +379,19 @@ def build_level(
 
     out_schema = "cell_id string, resolution int, text string, children array<long>, n_tokens int"
     max_summary = cfg.summary_max_tokens
+    if with_embedding:
+        from raptor_rag_spark.operators.embed import hash_embed_batch
+        from raptor_rag_spark.operators.tile import projection_matrix
+
+        dim = embed_dim or cfg.embedding_dim
+        proj = projection_matrix(dim, cfg.seed)  # small, ships in closure
+        out_schema += ", embedding array<float>, x double, y double"
 
     def summarize_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("node_id")
         texts = list(pdf["text"])
         text = summ(texts, max_summary)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "cell_id": [key[0]],
                 "resolution": [int(pdf["resolution"].iloc[0])],
@@ -284,6 +400,13 @@ def build_level(
                 "n_tokens": [len(tok_factory().encode(text))],
             }
         )
+        if with_embedding:
+            emb = hash_embed_batch(pd.Series([text]), dim)  # (1, dim) f32
+            xy = emb.astype("float64") @ proj.T  # = reduce_2d's matmul
+            out["embedding"] = list(emb)
+            out["x"] = xy[:, 0]
+            out["y"] = xy[:, 1]
+        return out
 
     # explicit hash repartition BEFORE the grouped UDF: the summarizer
     # is CPU-bound Python, but its shuffle input is small in BYTES, so
@@ -299,6 +422,7 @@ def build_level(
     )
 
     mk_id = node_id_for_cell(layer)
+    extra = ("embedding", "x", "y") if with_embedding else ()
     return parents.select(
         mk_id(F.col("cell_id"), F.col("resolution")),
         F.lit(layer).alias("layer"),
@@ -306,6 +430,7 @@ def build_level(
         "text",
         "children",
         "n_tokens",
+        *extra,
     )
 
 
@@ -543,9 +668,10 @@ def build_tree(
             break
         current = read_level(spark, checkpoint_base, layer)
         res = max(start_resolution - layer, 0)
-        parents = build_level(current, layer + 1, res, cfg, summarize_fn=summarize_fn)
-        parents = embed_texts(parents, dim=dim)
-        parents = reduce_2d(parents, dim=dim, seed=cfg.seed)
+        parents = build_level(
+            current, layer + 1, res, cfg, summarize_fn=summarize_fn,
+            with_embedding=True, embed_dim=dim,
+        )
         parents = parents.select(
             "node_id", "layer", "cell_id", "text", "children", "n_tokens", "embedding", "x", "y"
         )

@@ -138,7 +138,13 @@ def stream_pages(
 
 
 def append_level(
-    df: DataFrame, base: str, layer: int, lineage: dict, append_id: str | None = None
+    df: DataFrame,
+    base: str,
+    layer: int,
+    lineage: dict,
+    append_id: str | None = None,
+    rows_hint: int | None = None,
+    assume_pinned: bool = False,
 ) -> dict:
     """Append rows to an existing level checkpoint WITHOUT rewriting the
     level (the 100 TB level-0 ingest path: old data files are immutable,
@@ -175,8 +181,11 @@ def append_level(
     ):
         return manifest  # already applied — retry after a post-commit crash
     aid = append_id or _uuid.uuid4().hex
-    pinned = df.localCheckpoint(eager=True)  # count + write, one execution
-    delta_rows = pinned.count()
+    # count + write, one execution. ``assume_pinned`` callers already
+    # hold a checkpointed delta; ``rows_hint`` callers already counted
+    # it (content_append_stats) — both skip a redundant job.
+    pinned = df if assume_pinned else df.localCheckpoint(eager=True)
+    delta_rows = rows_hint if rows_hint is not None else pinned.count()
     stage_parquet_append(pinned, _level_path(base, layer), aid, part_prefix="inflight")
     manifest["rows"] = int(manifest["rows"]) + int(delta_rows)
     manifest.setdefault("appends", []).append(
@@ -256,9 +265,9 @@ def _propagate_affected(
             .drop("ix", "iy", "resolution")
             .filter(F.col("cell_id").isin(affected))
         )
-        recomputed = build_level(child_in, layer, res, cfg)
-        recomputed = embed_texts(recomputed, dim=dim)
-        recomputed = reduce_2d(recomputed, dim=dim, seed=cfg.seed).select(
+        recomputed = build_level(
+            child_in, layer, res, cfg, with_embedding=True, embed_dim=dim
+        ).select(
             "node_id", "layer", "cell_id", "text", "children", "n_tokens",
             "embedding", "x", "y",
         )
@@ -454,7 +463,7 @@ def _stage_level0_append(new_leaves: DataFrame, checkpoint_base: str):
     exactness. One materialization, every consumer reads it."""
     from pyspark.sql import functions as F
 
-    from raptor_rag_spark.functions.staging import content_append_id
+    from raptor_rag_spark.functions.staging import content_append_stats
 
     lvl0_delta = (
         new_leaves.withColumn("layer", F.lit(0))
@@ -466,12 +475,12 @@ def _stage_level0_append(new_leaves: DataFrame, checkpoint_base: str):
         )
         .localCheckpoint(eager=True)
     )
-    append_id = content_append_id(
+    append_id, n_rows = content_append_stats(
         lvl0_delta, ["node_id", "text", "n_tokens", "embedding"]
     )
     append_level(
         lvl0_delta, checkpoint_base, 0, {"input": "incremental append"},
-        append_id=append_id,
+        append_id=append_id, rows_hint=n_rows, assume_pinned=True,
     )
     return lvl0_delta, append_id
 
