@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from raptor_rag_spark.config import DEFAULT_CONFIG, EngineConfig
+from raptor_rag_spark.functions.localtab import local_df
 from raptor_rag_spark.operators.chunk import chunk_documents
 from raptor_rag_spark.operators.embed import embed_texts
 from raptor_rag_spark.operators.tree import build_tree, last_complete_level
@@ -62,7 +63,7 @@ class RaptorEngine:
         (reference add_documents overwrites after a prompt; the engine
         is resumable instead)."""
         if isinstance(docs, str):
-            docs = self.spark.createDataFrame([(0, docs)], f"{id_col} long, {text_col} string")
+            docs = local_df(self.spark, [(0, docs)], f"{id_col} long, {text_col} string")
         chunks = chunk_documents(
             docs, id_col=id_col, text_col=text_col,
             max_tokens=self.cfg.max_tokens,
@@ -119,8 +120,8 @@ class RaptorEngine:
             raise ValueError("no tree built — call add_documents first; "
                              "append_documents only updates an existing tree")
         if isinstance(docs, str):
-            docs = self.spark.createDataFrame(
-                [(docs,)], f"{text_col} string"
+            docs = local_df(
+                self.spark, [(docs,)], f"{text_col} string"
             ).select(F.xxhash64(F.col(text_col)).alias(id_col), text_col)
         chunks = chunk_documents(
             docs, id_col=id_col, text_col=text_col,
@@ -184,7 +185,7 @@ class RaptorEngine:
             questions = [questions]
         if isinstance(questions, list):
             rows = [(i, q) for i, q in enumerate(questions)]
-            questions = self.spark.createDataFrame(rows, "query_id long, text string")
+            questions = local_df(self.spark, rows, "query_id long, text string")
         return embed_queries(questions, dim=self.dim)
 
     def retrieve(

@@ -579,11 +579,15 @@ def tile_knn(
     grid_n = 1 << (resolution + 1)
     max_ring = min(max_ring, grid_n)
     schedule = sorted({min(ring, max_ring), min(ring * 4, max_ring), max_ring})
-    scoring = _resolve_strategy(scoring, queries)
 
     # pin the (small) query side once: every round broadcasts it, and
     # without this the query-embedding pipeline re-executes per round
     remaining = queries.localCheckpoint(eager=True) if len(schedule) > 1 else queries
+    # one count resolves the scoring strategy AND the loop's early-exit
+    # arithmetic (cheap: the side is pinned above)
+    n_remaining = remaining.count() if (scoring == "auto" or len(schedule) > 1) else None
+    if scoring == "auto":
+        scoring = "broadcast" if n_remaining <= BROADCAST_MAX_QUERIES else "join"
     results: DataFrame | None = None
     for round_i, r in enumerate(schedule):
         cand = tile_knn_candidates(
@@ -605,14 +609,20 @@ def tile_knn(
         # round's plan doesn't recompute this one
         ranked = ranked.localCheckpoint(eager=True)
         counts = ranked.groupBy(query_id).agg(F.count("*").alias("_n"))
+        n_done = counts.filter(F.col("_n") >= k).count()
+        if n_done == n_remaining:
+            # every remaining query already has its k: skip the
+            # done/remaining bookkeeping joins and further rounds —
+            # the common case when the first ring suffices
+            results = ranked if results is None else results.unionByName(ranked)
+            break
         done_ids = counts.filter(F.col("_n") >= k).select(query_id).localCheckpoint(eager=True)
         done = ranked.join(F.broadcast(done_ids), query_id, "left_semi")
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(F.broadcast(done_ids), query_id, "left_anti").localCheckpoint(
             eager=True
         )
-        if not remaining.take(1):
-            break
+        n_remaining -= n_done
     return results
 
 
@@ -856,23 +866,48 @@ def tile_knn_adaptive(
     the query-side twin of the same bound: 'broadcast' collects the
     query matrix to the driver, 'join' scores via a distributed
     equi-join (no collect), 'auto' switches on query count."""
-    if resolutions is None:
-        resolutions = sorted(
-            r["resolution"] for r in atiles.select("resolution").distinct().collect()
+    need_resolutions = resolutions is None
+    if membership == "auto" and need_resolutions:
+        # the morton cell_key embeds its resolution (key >> 32), so ONE
+        # distinct-keys collect yields BOTH the populated set and the
+        # resolution ladder — previously two full passes over atiles
+        # (an expensive double-run when the tile table is a lazy plan)
+        keys = [
+            int(r["cell_key"])
+            for r in atiles.select("cell_key").distinct().collect()
+        ]
+        resolutions = sorted({k >> 32 for k in keys})
+        membership = (
+            "broadcast" if max(resolutions) <= MAX_BROADCAST_RESOLUTION else "join"
         )
-    if membership == "auto":
-        membership = "broadcast" if max(resolutions) <= MAX_BROADCAST_RESOLUTION else "join"
-    if membership == "join":
         populated: set[int] | DataFrame = (
-            atiles.select("cell_key").distinct().localCheckpoint(eager=True)
+            set(keys)
+            if membership == "broadcast"
+            else atiles.select("cell_key").distinct().localCheckpoint(eager=True)
         )
     else:
-        populated = {
-            int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()
-        }
+        if need_resolutions:
+            resolutions = sorted(
+                r["resolution"] for r in atiles.select("resolution").distinct().collect()
+            )
+        if membership == "auto":
+            membership = (
+                "broadcast" if max(resolutions) <= MAX_BROADCAST_RESOLUTION else "join"
+            )
+        if membership == "join":
+            populated = (
+                atiles.select("cell_key").distinct().localCheckpoint(eager=True)
+            )
+        else:
+            populated = {
+                int(r["cell_key"])
+                for r in atiles.select("cell_key").distinct().collect()
+            }
     schedule = sorted({min(ring, max_ring), min(ring * 4, max_ring), max_ring})
-    scoring = _resolve_strategy(scoring, queries)
     remaining = queries.localCheckpoint(eager=True) if len(schedule) > 1 else queries
+    n_remaining = remaining.count() if (scoring == "auto" or len(schedule) > 1) else None
+    if scoring == "auto":
+        scoring = "broadcast" if n_remaining <= BROADCAST_MAX_QUERIES else "join"
     results: DataFrame | None = None
     for round_i, r in enumerate(schedule):
         cand = adaptive_candidates(
@@ -892,14 +927,19 @@ def tile_knn_adaptive(
             break
         ranked = ranked.localCheckpoint(eager=True)
         counts = ranked.groupBy(query_id).agg(F.count("*").alias("_n"))
+        n_done = counts.filter(F.col("_n") >= k).count()
+        if n_done == n_remaining:
+            # every remaining query already has its k (the common case
+            # when the first ring suffices): skip the bookkeeping joins
+            results = ranked if results is None else results.unionByName(ranked)
+            break
         done_ids = counts.filter(F.col("_n") >= k).select(query_id).localCheckpoint(eager=True)
         done = ranked.join(F.broadcast(done_ids), query_id, "left_semi")
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(F.broadcast(done_ids), query_id, "left_anti").localCheckpoint(
             eager=True
         )
-        if not remaining.take(1):
-            break
+        n_remaining -= n_done
     return results
 
 

@@ -122,7 +122,9 @@ def retrieve_traversal(
     q_ids, q_mat = _collect_query_matrix(queries, "query_id", "q_embedding")
     b_index = spark.sparkContext.broadcast({int(qid): i for i, qid in enumerate(q_ids)})
     b_mat = spark.sparkContext.broadcast(q_mat)
-    ids_df = spark.createDataFrame([(int(qid),) for qid in q_ids], "query_id long")
+    from raptor_rag_spark.functions.localtab import local_df
+
+    ids_df = local_df(spark, [(int(qid),) for qid in q_ids], "query_id long")
 
     # per-layer candidate sets: start = all top-layer nodes for every query
     cand = (

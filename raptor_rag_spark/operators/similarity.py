@@ -19,6 +19,7 @@ from raptor_rag_spark.operators.knn import (
 from raptor_rag_spark.operators.tile import (
     adaptive_tile_assignments,
     cell_key_col,
+    chosen_cells_from_occupancy,
     reduce_2d,
     tile_assignments,
 )
@@ -88,24 +89,47 @@ class TileAnnIndex:
             eager=True
         )
         self.nodes = self._quantize_nodes(flt) if quantized else flt
-        self.views = []
-        for seed in seeds:
+
+        def build_view(seed: int):
+            from raptor_rag_spark.operators.tile import cell_occupancy_map
+
             xy = reduce_2d(flt, dim=dim, seed=seed).localCheckpoint(eager=True)
-            atiles = adaptive_tile_assignments(
-                xy, "node_id", base_resolution, max_occupancy, max_resolution,
-                strategy=membership,
-            ).localCheckpoint(eager=True)
             if membership == "join":
+                atiles = adaptive_tile_assignments(
+                    xy, "node_id", base_resolution, max_occupancy, max_resolution,
+                    strategy=membership,
+                ).localCheckpoint(eager=True)
                 # populated cells stay a DataFrame — nothing
                 # driver-resident, probes intersect it via join
                 populated: set[int] | DataFrame = (
                     atiles.select("cell_key").distinct().localCheckpoint(eager=True)
                 )
             else:
-                populated = {
-                    int(r["cell_key"]) for r in atiles.select("cell_key").distinct().collect()
-                }
-            self.views.append((seed, xy, atiles, populated))
+                # one occupancy collect feeds BOTH the assignment kernel
+                # and the populated set (driver-derived — replaces a
+                # second full pass over the assignment output)
+                cmap = cell_occupancy_map(
+                    xy.select("node_id", "x", "y"), base_resolution, max_resolution
+                )
+                atiles = adaptive_tile_assignments(
+                    xy, "node_id", base_resolution, max_occupancy, max_resolution,
+                    occupancy_map=cmap, strategy=membership,
+                ).localCheckpoint(eager=True)
+                populated = chosen_cells_from_occupancy(
+                    cmap, base_resolution, max_resolution, max_occupancy
+                )
+            return (seed, xy, atiles, populated)
+
+        # the per-seed view builds are independent jobs — overlap them
+        # so one view's straggler tail back-fills with the other's work
+        # (guide §2.6); 2-3 in flight is plenty
+        if len(seeds) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(3, len(seeds))) as pool:
+                self.views = list(pool.map(build_view, seeds))
+        else:
+            self.views = [build_view(s) for s in seeds]
 
     @staticmethod
     def _quantize_nodes(flt: DataFrame) -> DataFrame:

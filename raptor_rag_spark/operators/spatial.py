@@ -351,7 +351,10 @@ def point_in_polygon_tiled(
 
     full, boundary = polygon_cell_cover(polygon, resolution)
     spark = df_xy.sparkSession
-    cover = spark.createDataFrame(
+    from raptor_rag_spark.functions.localtab import local_df
+
+    cover = local_df(
+        spark,
         [(k, True) for k in sorted(full)] + [(k, False) for k in sorted(boundary)],
         "cell_key long, is_full boolean",
     )

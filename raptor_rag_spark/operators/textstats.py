@@ -659,9 +659,9 @@ def select_to_token_budget(
         offsets.append((pid, acc))
         acc += totals[pid]
     ocol = bcol + "off"
-    off_df = wb.sparkSession.createDataFrame(
-        offsets, f"{pcol} int, {ocol} long"
-    )
+    from raptor_rag_spark.functions.localtab import local_df
+
+    off_df = local_df(wb.sparkSession, offsets, f"{pcol} int, {ocol} long")
     w = (
         Window.partitionBy(pcol)
         .orderBy(s.desc(), F.col(id_col).asc())

@@ -250,6 +250,33 @@ def cell_occupancy_map(
 MAX_BROADCAST_RESOLUTION = 12
 
 
+def chosen_cells_from_occupancy(
+    cmap: dict[int, int], base_resolution: int, max_resolution: int,
+    max_occupancy: int,
+) -> set[int]:
+    """The set of cell_keys adaptive_tile_assignments actually assigns
+    points to, derived PURELY from the occupancy map — no Spark job.
+    A populated cell at r < max is chosen iff occ <= cap and every
+    coarser ancestor's occ > cap (all of a cell's members share its
+    ancestors, so the per-point pick rule lifts to cells exactly); at
+    max resolution the occ test drops. Replaces a distinct() collect
+    over the assignment output wherever the occupancy map is already
+    driver-resident (e.g. the TileAnnIndex build)."""
+    cap = max_occupancy
+    chosen: set[int] = set()
+    for key, n in cmap.items():
+        r = key >> 32
+        if r < max_resolution and n > cap:
+            continue
+        m = key & 0xFFFFFFFF
+        if all(
+            cmap.get((rp << 32) + (m >> (2 * (r - rp))), 0) > cap
+            for rp in range(base_resolution, r)
+        ):
+            chosen.add(key)
+    return chosen
+
+
 def adaptive_tile_assignments_join(
     df: DataFrame,
     id_col: str,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from raptor_rag_spark.config import EngineConfig
+from raptor_rag_spark.functions.localtab import local_df
 from raptor_rag_spark.operators import knn as knn_ops
 from raptor_rag_spark.operators import tile as tile_ops
 from raptor_rag_spark.operators.dedup import (
@@ -668,7 +669,8 @@ def q_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the chunk+embed pipeline re-executes per consumer (measured 31 s
     # -> ~8 s at sf0.1)
     nodes = tile_ops.reduce_2d(nodes, dim=DIM, seed=CFG.seed).localCheckpoint(eager=True)
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [(0, "table scan join"), (1, "window aggregate"), (2, "stream filter data")],
         "query_id long, text string",
     )
@@ -788,7 +790,8 @@ def q_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = build_tree(
         spark, leaves, base, CFG, start_resolution=2, max_layers=2, embed_dim=DIM, resume=True
     )
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [(0, "table scan join"), (1, "window aggregate group")],
         "query_id long, text string",
     )
@@ -1165,7 +1168,7 @@ def q_catalog_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (s["id"], t.read(snapshot_id=s["id"]).count()) for s in snaps
     ]
-    return spark.createDataFrame(rows, "snapshot_id int, n_rows long")
+    return local_df(spark, rows, "snapshot_id int, n_rows long")
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
