@@ -465,6 +465,7 @@ def simhash_pairs_jvm(
     max_hamming: int = 3,
     blocks: int = 4,
     max_block_df: int = SIMHASH_MAX_BLOCK_DF,
+    precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-dup pairs over the pure-JVM 48-bit
     simhash (textstats.simhash_signatures, md5-prefix hash) — the
@@ -484,9 +485,15 @@ def simhash_pairs_jvm(
         raise ValueError("pigeonhole requires max_hamming <= blocks-1")
     # materialize signatures ONCE: the 48-column bit-sum aggregate
     # otherwise re-executes on BOTH sides of the candidate self-join
-    # (plus the bucket-count window) — measured 60 s -> ~5 s at sf0.1
-    sig = simhash_signatures(df, id_col=id_col, text_col=text_col).localCheckpoint(
-        eager=False
+    # (plus the bucket-count window) — measured 60 s -> ~5 s at sf0.1.
+    # ``precomputed_sig`` lets a caller that already materialized the
+    # signature table (e.g. the contract query's sig branch) share it.
+    sig = (
+        precomputed_sig
+        if precomputed_sig is not None
+        else simhash_signatures(df, id_col=id_col, text_col=text_col).localCheckpoint(
+            eager=False
+        )
     )
     width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
@@ -701,6 +708,7 @@ def minhash_dedup_pairs_jvm(
     shingle_n: int = 3,
     threshold: float = 0.5,
     prefilter_slack: float = 0.15,
+    precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, every stage pure JVM and hence
     mirrorable in ANSI-ish SQL (the DuckDB oracle for the
@@ -717,9 +725,17 @@ def minhash_dedup_pairs_jvm(
     slightly wider shuffle rows, bought for oracle portability.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures_jvm(df, id_col, text_col, n_hashes, shingle_n).filter(
-        F.col("sig").isNotNull()
-    ).select(F.col(id_col).alias("id"), "sig")
+    sig = (
+        precomputed_sig
+        if precomputed_sig is not None
+        else minhash_signatures_jvm(df, id_col, text_col, n_hashes, shingle_n)
+    )
+    # pin the signatures: the n_hashes-column min() aggregate otherwise
+    # re-executes on the banding pass AND both sides of the est join
+    # (3x the most expensive stage; same discipline as simhash_pairs_jvm)
+    sig = sig.filter(F.col("sig").isNotNull()).select(
+        F.col(id_col).alias("id"), "sig"
+    ).localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -747,8 +763,22 @@ def minhash_dedup_pairs_jvm(
         )
         .filter(F.col("est_jaccard") >= threshold - prefilter_slack)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        # pinned: est drives the verify stage twice (the _sa and _sb
+        # joins) AND bounds the doc set whose shingles are computed
+        .localCheckpoint(eager=False)
     )
-    sh = shingle_sets_jvm(df, id_col, text_col, shingle_n)
+    # compute verify shingles ONLY for docs that appear in a candidate
+    # pair — the semi join runs below the shingle projection, so the
+    # (expensive) shingling touches surviving pairs' texts instead of
+    # the whole corpus, twice
+    pair_ids = (
+        est.select(F.col("id_a").alias(id_col))
+        .unionByName(est.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingle_sets_jvm(
+        df.join(pair_ids, id_col, "left_semi"), id_col, text_col, shingle_n
+    )
     verified = (
         est.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sa")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb")), "id_b")

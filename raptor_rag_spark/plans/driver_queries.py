@@ -628,13 +628,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raptor_rag_spark.operators.textstats import simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs).select(
+    # one signature materialization for both branches (the 48-column
+    # bit-sum aggregate is the dominant stage)
+    sig_full = simhash_signatures(docs).localCheckpoint(eager=False)
+    sig = sig_full.select(
         F.lit("sig").alias("kind"),
         F.col("doc_id").cast("long").alias("id_a"),
         F.lit(-1).cast("long").alias("id_b"),
         F.col("simhash").cast("long").alias("val"),
     )
-    pairs = simhash_pairs_jvm(docs, max_hamming=3, blocks=4).select(
+    pairs = simhash_pairs_jvm(
+        docs, max_hamming=3, blocks=4, precomputed_sig=sig_full
+    ).select(
         F.lit("pair").alias("kind"),
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),
@@ -992,8 +997,13 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE signature materialization feeds the sig branch AND the pairs
+    # pipeline (passed through as precomputed_sig) — the md5-shingle
+    # min() aggregate is the query's dominant stage and previously
+    # re-executed once per branch
+    sig_full = minhash_signatures_jvm(docs).localCheckpoint(eager=False)
     sig = (
-        minhash_signatures_jvm(docs)
+        sig_full
         .select("doc_id", F.posexplode("sig").alias("hash_idx", "min_val"))
         .select(
             F.lit("sig").alias("kind"),
@@ -1003,7 +1013,9 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("dval"),
         )
     )
-    pairs_df = minhash_dedup_pairs_jvm(docs, threshold=0.35)
+    pairs_df = minhash_dedup_pairs_jvm(
+        docs, threshold=0.35, precomputed_sig=sig_full
+    ).localCheckpoint(eager=False)  # reused by the pair AND est branches
     pair = pairs_df.select(
         F.lit("pair").alias("kind"),
         F.col("id_a").cast("long"),
