@@ -210,6 +210,54 @@ def test_streamed_pages_feed_incremental_tree_update(spark, tmp_path_factory):
     assert g == w
 
 
+def test_manifest_rows_match_storage_after_incremental_update(
+    spark, tmp_path_factory
+):
+    """Regression (round 6): after an incremental update, EVERY level's
+    manifest row count must equal what is actually on storage. The old
+    arithmetic manifest update read partition keys through a Spark scan
+    whose partition-column type inference stripped leading zeros from
+    quadkey prefixes ('01230' -> 1230), so replaced entries were never
+    popped and manifests drifted ABOVE storage (observed +2 rows/level
+    at sf0.01) — silently inflating every recompute-fraction
+    denominator. The footer-walk counts key by the literal dir name."""
+    from raptor_rag_spark.config import DEFAULT_CONFIG
+    from raptor_rag_spark.operators.tree import (
+        _level_path,
+        _manifest_path,
+        build_tree,
+        read_manifest,
+    )
+    from raptor_rag_spark.streaming.incremental import incremental_update
+
+    import os
+
+    base = str(tmp_path_factory.mktemp("mani_tree"))
+    pages = synthetic_pages(spark, n=48, seed=21)
+    leaves0 = incremental_level0(pages)
+    build_tree(spark, leaves0, base, DEFAULT_CONFIG, start_resolution=3)
+
+    delta = incremental_level0(
+        synthetic_pages(spark, n=8, seed=22).withColumn(
+            "page_id", F.col("page_id") + 7000
+        )
+    )
+    incremental_update(spark, base, delta, DEFAULT_CONFIG, start_resolution=3)
+
+    lvl = 0
+    while os.path.exists(_manifest_path(base, lvl)):
+        m = read_manifest(base, lvl)
+        actual = spark.read.parquet(_level_path(base, lvl)).count()
+        assert m["rows"] == actual, (
+            f"level {lvl}: manifest says {m['rows']} rows, storage has {actual}"
+        )
+        # per-partition counts + append-ledger rows must add up to the
+        # total (appends extend "rows" without touching "partitions")
+        appended = sum(int(a["rows"]) for a in m.get("appends", []))
+        assert sum(m["partitions"].values()) + appended == m["rows"]
+        lvl += 1
+
+
 def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
     """Streaming exact dedup: a url recrawled within the watermark is
     dropped (state-bounded dropDuplicatesWithinWatermark), across
