@@ -841,6 +841,19 @@ def adaptive_candidates(
     )
 
 
+def _plan_is_bare_scan(df: DataFrame) -> bool:
+    """True when re-scanning ``df`` is cheap: its optimized plan is a
+    bare materialized source (checkpoint RDD / file relation / local
+    rows), possibly under projections/filters — nothing expensive to
+    re-execute. Driver-side plan inspection only; no job."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = [ln.strip() for ln in plan.splitlines() if ln.strip()]
+    cheap_leaf = ("LogicalRDD" in plan) or ("Relation" in plan) or (
+        "LocalRelation" in plan
+    )
+    return cheap_leaf and len(lines) <= 3
+
+
 def tile_knn_adaptive(
     queries: DataFrame,
     nodes: DataFrame,
@@ -866,6 +879,15 @@ def tile_knn_adaptive(
     the query-side twin of the same bound: 'broadcast' collects the
     query matrix to the driver, 'join' scores via a distributed
     equi-join (no collect), 'auto' switches on query count."""
+    # the tile table is consumed at least twice per call (the populated
+    # cell/resolution collect + one candidate join per ring round): if
+    # it is a lazy plan with real compute behind it (e.g. the adaptive
+    # assignment kernel straight off adaptive_tile_assignments), pin it
+    # once instead of re-running that compute per pass. Already-
+    # materialized inputs (a checkpoint, a parquet/bucketed store scan)
+    # are left alone — no duplicate storage.
+    if not _plan_is_bare_scan(atiles):
+        atiles = atiles.localCheckpoint(eager=False)
     need_resolutions = resolutions is None
     if membership == "auto" and need_resolutions:
         # the morton cell_key embeds its resolution (key >> 32), so ONE

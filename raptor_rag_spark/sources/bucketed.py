@@ -41,8 +41,15 @@ def write_bucketed(
     warehouse. Overwrites any existing table of the same name."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # co-locate each bucket before the write: a bucketed write emits
+    # one file PER (task x bucket) — at P input partitions that is up
+    # to P*n_buckets small files (guide §6's small-files problem, paid
+    # again on every subsequent read). repartition on the bucket key
+    # uses the same Murmur3 hash family as the bucket layout, so each
+    # task holds whole buckets and writes ~one file per bucket.
     writer = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))

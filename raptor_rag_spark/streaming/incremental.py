@@ -282,7 +282,14 @@ def _propagate_affected(
         )
         old_manifest = read_manifest(checkpoint_base, layer)
         pfx_len = old_manifest.get("partition_prefix_len")
-        n_replaced = int(replaced.count())
+        if old_manifest.get("partitions_by") == "cell_pfx" and pfx_len == res + 1:
+            # manifest partition counts are exact (footer-derived and
+            # append-free at levels >= 1): the replaced-parents count is
+            # plain arithmetic, no counting job
+            parts = old_manifest.get("partitions", {})
+            n_replaced = int(sum(int(parts.get(c, 0)) for c in affected))
+        else:
+            n_replaced = int(replaced.count())
         lineage = {
             "input": "incremental",
             "resolution": res,
