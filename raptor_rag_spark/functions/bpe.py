@@ -81,8 +81,9 @@ def byte_pair_merge(piece: bytes, ranks: dict[bytes, int]) -> list[bytes]:
     entries can only be the same byte pair, ranks are unique) until no
     adjacent pair is in the vocabulary.
 
-    Small pieces take the naive quadratic scan (lowest constant; the
-    typical word/punctuation piece is < 16 bytes). Large pieces — the
+    Pieces at or under the 64-byte cutover below take the naive
+    quadratic scan (lowest constant; the typical word/punctuation
+    piece is far smaller still, < 16 bytes). Large pieces — the
     cl100k pre-tokenizer caps only digit runs at 3; letter runs
     (``\\p{L}+``), punctuation runs and whitespace runs are UNBOUNDED,
     and real crawl text carries 100 KB+ unbroken runs (base64 blobs,

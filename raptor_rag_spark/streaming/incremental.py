@@ -506,9 +506,21 @@ def _pending_path(base: str) -> str:
 def has_pending_ledger(base: str) -> bool:
     """True once the append planner has ever written a ledger for this
     tree. While true, eager updates must settle the ledger (they route
-    through the planner with force_flush) or pending counts drift."""
+    through the planner with force_flush) or pending counts drift.
+
+    The ledger (like every level manifest here) is LOCAL-filesystem
+    I/O: on a remote base (hdfs://, s3a://) os.path.exists would
+    silently return False and this invariant would degrade to the old
+    bypass behavior — fail loudly instead; a remote deployment fronts
+    these json sidecars with a shared metadata store."""
     import os
 
+    if "://" in base:
+        raise ValueError(
+            f"tree checkpoint base {base!r} is not a local path — the "
+            "append-planner ledger and level manifests are local-FS "
+            "sidecars (see has_pending_ledger docstring)"
+        )
     return os.path.exists(_pending_path(base))
 
 
