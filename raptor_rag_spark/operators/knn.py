@@ -841,19 +841,6 @@ def adaptive_candidates(
     )
 
 
-def _plan_is_bare_scan(df: DataFrame) -> bool:
-    """True when re-scanning ``df`` is cheap: its optimized plan is a
-    bare materialized source (checkpoint RDD / file relation / local
-    rows), possibly under projections/filters — nothing expensive to
-    re-execute. Driver-side plan inspection only; no job."""
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    lines = [ln.strip() for ln in plan.splitlines() if ln.strip()]
-    cheap_leaf = ("LogicalRDD" in plan) or ("Relation" in plan) or (
-        "LocalRelation" in plan
-    )
-    return cheap_leaf and len(lines) <= 3
-
-
 def tile_knn_adaptive(
     queries: DataFrame,
     nodes: DataFrame,
@@ -886,7 +873,9 @@ def tile_knn_adaptive(
     # once instead of re-running that compute per pass. Already-
     # materialized inputs (a checkpoint, a parquet/bucketed store scan)
     # are left alone — no duplicate storage.
-    if not _plan_is_bare_scan(atiles):
+    from raptor_rag_spark.functions.planutil import plan_is_bare_scan
+
+    if not plan_is_bare_scan(atiles):
         atiles = atiles.localCheckpoint(eager=False)
     need_resolutions = resolutions is None
     if membership == "auto" and need_resolutions:

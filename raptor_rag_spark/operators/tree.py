@@ -219,6 +219,15 @@ def _assign_cells_with_cap(
     universe = sum(4 ** (r + 1) for r in resolutions[:-1])
     if universe > _MAX_SPLITTABLE_BROADCAST:
         return _assign_cells_with_cap_join(nodes, resolutions, cfg)
+    # the input feeds BOTH the splittable-stats collect and the final
+    # map-side pick: if there is real compute behind it (an un-pinned
+    # chunk/embed pipeline), pin it once so the upstream plan does not
+    # evaluate twice; cheap re-scans (level files, checkpoints) are
+    # left alone
+    from raptor_rag_spark.functions.planutil import plan_is_bare_scan
+
+    if not plan_is_bare_scan(nodes):
+        nodes = nodes.localCheckpoint(eager=False)
     # ONE skinny aggregation (map-side combine) of the exploded ladder
     # -> the splittable (res, cell) set, collected (bounded above).
     # Morton long keys, no per-row strings in the shuffle.
