@@ -168,12 +168,58 @@ def probe_ann(spark):
           .write.format("noop").mode("overwrite").save())
 
 
+def probe_planned(spark):
+    """Per-day wall of the planned-append slot: which days flush and
+    what the non-flush floor is."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from raptor_rag_spark.config import EngineConfig
+    from raptor_rag_spark.operators.chunk import chunk_documents
+    from raptor_rag_spark.operators.embed import embed_texts
+    from raptor_rag_spark.operators.tile import reduce_2d
+    from raptor_rag_spark.streaming.incremental import (
+        incremental_update_planned,
+        read_pending,
+    )
+
+    base = probe_tree(spark)
+    cfg = EngineConfig(embedding_dim=DIM)
+    planned = base + "_planned"
+    shutil.copytree(base, planned)
+    for day in range(5):
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 100 == day)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(20_000_000 + day * 1_000_000))
+        )
+        chunks = chunk_documents(docs, max_tokens=60)
+        leaves = (
+            embed_texts(chunks, dim=DIM)
+            .withColumnRenamed("chunk_id", "node_id")
+            .select("node_id", "text", "n_tokens", "embedding")
+        )
+        leaves = reduce_2d(leaves, dim=DIM, seed=cfg.seed)
+        timed(f"planned_day{day}", lambda lv=leaves, d=day: incremental_update_planned(
+            spark, planned, lv, cfg, start_resolution=4, max_layers=6,
+            embed_dim=DIM, min_pending_per_cell=4, force_flush=(d == 4),
+        ).count())
+    print("  flushes:", [
+        {k: f[k] for k in ("cells", "recomputed_parents", "forced")}
+        for f in read_pending(planned)["flushes"]
+    ])
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(planned, ignore_errors=True)
+
+
 PROBES = {
     "tree": probe_tree,
     "ivf": probe_ivf,
     "knn": probe_knn,
     "append": probe_append,
     "ann": probe_ann,
+    "planned": probe_planned,
 }
 
 

@@ -612,6 +612,43 @@ def read_level(spark: SparkSession, base: str, layer: int) -> DataFrame:
     return df.drop("cell_pfx") if "cell_pfx" in df.columns else df
 
 
+def read_level_pruned(
+    spark: SparkSession, base: str, layer: int, prefixes: list[str]
+) -> DataFrame:
+    """Partition-pruned read of a prefix-partitioned level: only the
+    ``cell_pfx=`` directories matching ``prefixes`` (exactly, or by
+    quadkey-prefix when the given strings are SHORTER than the level's
+    partition key) are listed and read — the O(affected) I/O path of
+    incremental maintenance. Two details matter:
+
+    - the partition column is read through an EXPLICIT schema as a
+      STRING: default partition-type inference parses '01230' as the
+      integer 1230, silently merging distinct quadkeys (the same
+      inference caused the round-5 manifest drift);
+    - the predicate is on the partition column only, so Catalyst
+      evaluates it against directory values during listing
+      (PartitionFilters in the scan — no data files outside the
+      affected dirs are opened).
+
+    Returns the level WITHOUT cell_pfx, like read_level. Caller must
+    know the level is prefix-partitioned (manifest
+    partition_prefix_len)."""
+    from pyspark.sql import types as T
+
+    path = _level_path(base, layer)
+    inferred = spark.read.parquet(path).schema
+    fields = [
+        T.StructField("cell_pfx", T.StringType()) if f.name == "cell_pfx" else f
+        for f in inferred.fields
+    ]
+    df = spark.read.schema(T.StructType(fields)).parquet(path)
+    if not prefixes:
+        return df.drop("cell_pfx").limit(0)
+    plen = len(prefixes[0])
+    pred = F.substring("cell_pfx", 1, plen).isin(list(prefixes))
+    return df.filter(pred).drop("cell_pfx")
+
+
 def read_manifest(base: str, layer: int) -> dict:
     with open(_manifest_path(base, layer)) as f:
         return json.load(f)

@@ -239,6 +239,7 @@ def _propagate_affected(
         build_level,
         read_level,
         read_manifest,
+        read_level_pruned,
         refresh_manifest,
         storage_partition_counts,
         update_manifest_delta,
@@ -259,6 +260,14 @@ def _propagate_affected(
             )
         if layer == 1:
             stats["affected_cells_l1"] = len(affected)
+        # child rows in affected cells — selected by the CHILD's OWN
+        # x,y at this resolution (tile), which is what the next level
+        # groups on. NOTE: this cannot be partition-pruned on the child
+        # level's cell_pfx: a child's partition key derives from its
+        # cell_id (its own children's region), while its x,y come from
+        # its summary embedding — the two can disagree, and pruning on
+        # cell_pfx drops legitimate members (caught by the
+        # incremental==scratch pytest when tried).
         child = read_level(spark, checkpoint_base, layer - 1)
         child_in = (
             tile(child, res)
@@ -271,17 +280,24 @@ def _propagate_affected(
             "node_id", "layer", "cell_id", "text", "children", "n_tokens",
             "embedding", "x", "y",
         )
-        old = read_level(spark, checkpoint_base, layer)
-        prefix = F.substring("cell_id", 1, res + 1)
-        # pinned BEFORE the overwrite below: this plan reads the very
-        # files being replaced
-        replaced = (
-            old.filter(prefix.isin(affected))
-            .select("node_id", "x", "y")
-            .localCheckpoint(eager=True)
-        )
         old_manifest = read_manifest(checkpoint_base, layer)
         pfx_len = old_manifest.get("partition_prefix_len")
+        prefix = F.substring("cell_id", 1, res + 1)
+        # pinned BEFORE the overwrite below: this plan reads the very
+        # files being replaced. Partition-pruned on the affected dirs
+        # when the layout allows (the affected cells ARE this level's
+        # partitions), else scan + row filter.
+        if old_manifest.get("partitions_by") == "cell_pfx" and pfx_len == res + 1:
+            replaced_src = read_level_pruned(
+                spark, checkpoint_base, layer, affected
+            )
+        else:
+            replaced_src = read_level(spark, checkpoint_base, layer).filter(
+                prefix.isin(affected)
+            )
+        replaced = replaced_src.select("node_id", "x", "y").localCheckpoint(
+            eager=True
+        )
         if old_manifest.get("partitions_by") == "cell_pfx" and pfx_len == res + 1:
             # manifest partition counts are exact (footer-derived and
             # append-free at levels >= 1): the replaced-parents count is
@@ -336,11 +352,9 @@ def _propagate_affected(
             # the written partitions ARE the recomputed rows: read them
             # back partition-pruned for the next level's delta instead
             # of holding a checkpoint
-            recomputed_rb = (
-                spark.read.parquet(_level_path(checkpoint_base, layer))
-                .filter(F.col("cell_pfx").isin(affected))
-                .select("node_id", "x", "y")
-            )
+            recomputed_rb = read_level_pruned(
+                spark, checkpoint_base, layer, affected
+            ).select("node_id", "x", "y")
         else:
             recomputed = recomputed.localCheckpoint(eager=True)
             n_recomputed = int(recomputed.count())
